@@ -1,0 +1,206 @@
+"""Command-line app: `chameleonrt-tpu <backend> <scene> [options]`.
+
+Flag-for-flag port of the reference CLI (main.cpp:19-36 USAGE,
+main.cpp:131-168 parsing): -eye/-center/-up/-fov/-spp/-camera/-img/-mat-mode/
+-validation/-benchmark-frames, default 1280x720 window, default camera
+eye=(0,0,5) center=origin up=+y fov=65. Headless-first (TPU hosts have no
+display): the progressive loop renders N frames, saves PNG frames on demand,
+and prints the benchmark summary the reference prints at exit
+(main.cpp:334-345). The scene path may be proc://<name> for the built-in
+procedural scenes.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from chameleonrt_tpu.core.registry import get_backend, list_backends
+from chameleonrt_tpu.scene.loader import load_scene
+from chameleonrt_tpu.scene.types import MaterialMode
+from chameleonrt_tpu.utils.image_io import write_image
+from chameleonrt_tpu.utils.util import get_device_brand, pretty_print_count
+
+USAGE = """Usage: chameleonrt-tpu <backend> <scene.obj/gltf/glb/crts/pbrt | proc://name> [options]
+Backends: {backends}
+Options:
+\t-eye <x> <y> <z>       Set the camera position
+\t-center <x> <y> <z>    Set the camera focus point
+\t-up <x> <y> <z>        Set the camera up vector
+\t-fov <fovy>            Specify the camera field of view (in degrees)
+\t-spp <n>               Number of samples per pixel per frame (default 1)
+\t-camera <n>            Use the n'th camera from the scene (default 0)
+\t-img <x> <y>           Framebuffer dimensions (default 1280 720)
+\t-mat-mode <MODE>       Material mode: default | white_diffuse
+\t-validation <prefix>   Save every frame as <prefix><backend>-f<N>.png
+\t-benchmark-frames <n>  Render n frames, print stats, save final image, exit
+\t-frames <n>            Number of progressive frames to render (default 16)
+\t-o <file.png>          Output image path (default chameleonrt_tpu_out.png)
+"""
+
+
+def parse_args(argv: List[str]):
+    opts = {
+        "backend": None,
+        "scene": None,
+        "eye": np.array([0.0, 0.0, 5.0], np.float32),
+        "center": np.zeros(3, np.float32),
+        "up": np.array([0.0, 1.0, 0.0], np.float32),
+        "fov": 65.0,
+        "spp": 1,
+        "camera": 0,
+        "img": (1280, 720),
+        "mat_mode": MaterialMode.DEFAULT,
+        "validation": None,
+        "benchmark_frames": 0,
+        "frames": 16,
+        "out": "chameleonrt_tpu_out.png",
+        "got_camera_args": False,
+    }
+    pos: List[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a in ("-h", "--help"):
+            return None
+        if a == "-eye":
+            opts["eye"] = np.array(argv[i + 1 : i + 4], np.float32)
+            opts["got_camera_args"] = True
+            i += 4
+        elif a == "-center":
+            opts["center"] = np.array(argv[i + 1 : i + 4], np.float32)
+            opts["got_camera_args"] = True
+            i += 4
+        elif a == "-up":
+            opts["up"] = np.array(argv[i + 1 : i + 4], np.float32)
+            opts["got_camera_args"] = True
+            i += 4
+        elif a == "-fov":
+            opts["fov"] = float(argv[i + 1])
+            opts["got_camera_args"] = True
+            i += 2
+        elif a == "-spp":
+            opts["spp"] = int(argv[i + 1])
+            i += 2
+        elif a == "-camera":
+            opts["camera"] = int(argv[i + 1])
+            i += 2
+        elif a == "-img":
+            opts["img"] = (int(argv[i + 1]), int(argv[i + 2]))
+            i += 3
+        elif a == "-mat-mode":
+            if argv[i + 1] == "white_diffuse":
+                opts["mat_mode"] = MaterialMode.WHITE_DIFFUSE
+            i += 2
+        elif a == "-validation":
+            opts["validation"] = argv[i + 1]
+            i += 2
+        elif a == "-benchmark-frames":
+            opts["benchmark_frames"] = int(argv[i + 1])
+            i += 2
+        elif a == "-frames":
+            opts["frames"] = int(argv[i + 1])
+            i += 2
+        elif a == "-o":
+            opts["out"] = argv[i + 1]
+            i += 2
+        elif not a.startswith("-"):
+            pos.append(a)
+            i += 1
+        else:
+            print(f"Unknown flag {a}")
+            return None
+    if len(pos) < 2:
+        return None
+    opts["backend"] = pos[0]
+    opts["scene"] = pos[1]
+    return opts
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    opts = parse_args(argv)
+    if opts is None:
+        print(USAGE.format(backends=", ".join(list_backends())))
+        return 1
+
+    w, h = opts["img"]
+    print(f"Loading scene: {opts['scene']}")
+    scene = load_scene(opts["scene"], opts["mat_mode"])
+    scene.samples_per_pixel = opts["spp"]
+
+    # Scene statistics block (reference main.cpp:189-204)
+    print(
+        "Scene '{}':\n# Unique Triangles: {}\n# Total Triangles: {}\n"
+        "# Geometries: {}\n# Meshes: {}\n# Parameterized Meshes: {}\n"
+        "# Instances: {}\n# Materials: {}\n# Textures: {}\n# Lights: {}\n# Cameras: {}".format(
+            opts["scene"],
+            pretty_print_count(scene.unique_tris()),
+            pretty_print_count(scene.total_tris()),
+            scene.num_geometries(),
+            len(scene.meshes),
+            len(scene.parameterized_meshes),
+            len(scene.instances),
+            len(scene.materials),
+            len(scene.textures),
+            len(scene.lights),
+            len(scene.cameras),
+        )
+    )
+
+    # Camera selection (reference main.cpp:175-186)
+    eye, center, up, fov = opts["eye"], opts["center"], opts["up"], opts["fov"]
+    if not opts["got_camera_args"] and scene.cameras:
+        cam = scene.cameras[min(opts["camera"], len(scene.cameras) - 1)]
+        eye, center, up, fov = cam.position, cam.center, cam.up, cam.fov_y
+
+    backend = get_backend(opts["backend"])
+    print(f"Backend: {backend.name}\nDevice: {get_device_brand()}")
+    backend.initialize(w, h)
+    t0 = time.perf_counter()
+    backend.set_scene(scene)
+    print(f"Scene upload + build took {time.perf_counter() - t0:.2f}s")
+
+    dir = center - eye
+    dir = dir / np.linalg.norm(dir)
+
+    n_frames = opts["benchmark_frames"] or opts["frames"]
+    render_times = []
+    rays_per_sec = []
+    app_t0 = time.perf_counter()
+    for frame in range(n_frames):
+        stats = backend.render(
+            eye, dir, up, fov,
+            camera_changed=(frame == 0),
+            readback_framebuffer=opts["validation"] is not None or frame == n_frames - 1,
+        )
+        render_times.append(stats.render_time)
+        if stats.rays_per_second > 0:
+            rays_per_sec.append(stats.rays_per_second)
+        if opts["validation"]:
+            name = f"{opts['validation']}{opts['backend']}-f{frame}.png"
+            write_image(name, backend.img)
+        if frame == 0:
+            print(f"frame 0 (incl. compile): {stats.render_time:.1f} ms")
+    total = time.perf_counter() - app_t0
+
+    # Benchmark summary (reference main.cpp:334-345)
+    steady = render_times[1:] or render_times
+    avg_ms = float(np.mean(steady))
+    print(
+        f"Rendered {n_frames} frames in {total:.2f}s\n"
+        f"Avg render time: {avg_ms:.2f} ms/frame ({1000.0 / max(avg_ms, 1e-6):.1f} FPS)"
+    )
+    if rays_per_sec:
+        steady_rays = rays_per_sec[1:] or rays_per_sec
+        print(f"Avg rays/sec: {pretty_print_count(float(np.mean(steady_rays)))}")
+    write_image(opts["out"], backend.img)
+    print(f"Saved {opts['out']}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,137 @@
+"""Shared backend machinery: device accumulation buffer, jitted progressive
+render step, sRGB readback, RenderStats timing.
+
+Mirrors the host-side responsibilities every reference backend repeats
+(initialize/set_scene/render with camera-change accumulation reset,
+render_backend.h:18-31; device-side frame timing; rays/s accounting under
+REPORT_RAY_STATS, CMakeLists.txt:30). The accumulation buffer stays resident
+on device; only the tonemapped sRGB8 image crosses to the host, and only when
+the caller asks for readback.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chameleonrt_tpu.core.backend import RenderBackend, RenderStats
+from chameleonrt_tpu.engine import path_tracer
+from chameleonrt_tpu.engine.device_scene import FlatScene, SceneMeta, build_device_scene
+from chameleonrt_tpu.ops import camera as camera_ops
+from chameleonrt_tpu.ops.tonemap import linear_to_srgb_u8
+from chameleonrt_tpu.scene.types import Scene
+
+
+class JaxRenderBackend(RenderBackend):
+    """Base for jax-engine backends; subclasses provide trace functions."""
+
+    #: whether to count rays (the REPORT_RAY_STATS equivalent); cheap, on by default
+    report_ray_stats: bool = True
+
+    def __init__(self, report_ray_stats: bool = True):
+        super().__init__()
+        self.report_ray_stats = report_ray_stats
+        self.fb_width = 0
+        self.fb_height = 0
+        self.frame_id = 0
+        self.flat: Optional[FlatScene] = None
+        self.meta: Optional[SceneMeta] = None
+        self._accum = None
+        self._render_jit = None
+        self._tonemap_jit = jax.jit(linear_to_srgb_u8)
+
+    # -- subclass hook -------------------------------------------------------
+    def make_trace_fns(self, meta: SceneMeta):
+        raise NotImplementedError
+
+    def prepare_scene(self, scene: Scene) -> Tuple[FlatScene, SceneMeta]:
+        """Subclasses may extend (e.g. BVH build)."""
+        return build_device_scene(scene)
+
+    # -- RenderBackend contract ---------------------------------------------
+    def initialize(self, fb_width: int, fb_height: int) -> None:
+        self.fb_width = int(fb_width)
+        self.fb_height = int(fb_height)
+        self.img = np.zeros((self.fb_height, self.fb_width, 4), np.uint8)
+        self._accum = jnp.zeros((self.fb_height, self.fb_width, 3), jnp.float32)
+        self.frame_id = 0
+        self._render_jit = None  # shape changed: respecialize
+
+    def set_scene(self, scene: Scene) -> None:
+        self.samples_per_pixel = int(scene.samples_per_pixel)
+        self.flat, self.meta = self.prepare_scene(scene)
+        self.frame_id = 0
+        self._render_jit = None
+
+    def _build_render_fn(self):
+        trace_closest, trace_any = self.make_trace_fns(self.meta)
+        meta = self.meta
+        W, H, spp = self.fb_width, self.fb_height, self.samples_per_pixel
+
+        @partial(jax.jit, static_argnames=(), donate_argnums=(2,))
+        def render_step(flat: FlatScene, view: camera_ops.ViewParams, accum, frame_id):
+            ys, xs = jnp.mgrid[0:H, 0:W]
+            px = xs.reshape(-1).astype(jnp.uint32)
+            py = ys.reshape(-1).astype(jnp.uint32)
+            illum, rays = path_tracer.render_pixels(
+                flat,
+                meta,
+                trace_closest,
+                trace_any,
+                view,
+                frame_id,
+                px,
+                py,
+                W,
+                H,
+                spp,
+            )
+            illum = illum.reshape(H, W, 3)
+            accum = path_tracer.progressive_accum(accum, illum, frame_id)
+            return accum, rays
+
+        return render_step
+
+    def render(
+        self,
+        pos,
+        dir,
+        up,
+        fov_y: float,
+        camera_changed: bool,
+        readback_framebuffer: bool = True,
+    ) -> RenderStats:
+        if self.flat is None:
+            raise RuntimeError("set_scene must be called before render")
+        if camera_changed:
+            self.frame_id = 0
+        if self.frame_id == 0:
+            self._accum = jnp.zeros((self.fb_height, self.fb_width, 3), jnp.float32)
+        if self._render_jit is None:
+            self._render_jit = self._build_render_fn()
+
+        view = camera_ops.compute_view_params(
+            pos, dir, up, fov_y, self.fb_width, self.fb_height
+        )
+        t0 = time.perf_counter()
+        self._accum, rays = self._render_jit(
+            self.flat, view, self._accum, jnp.uint32(self.frame_id)
+        )
+        rays = int(jax.block_until_ready(rays)) if self.report_ray_stats else 0
+        jax.block_until_ready(self._accum)
+        dt = time.perf_counter() - t0
+
+        stats = RenderStats(
+            render_time=dt * 1e3,
+            rays_per_second=(rays / dt) if (self.report_ray_stats and dt > 0) else 0.0,
+            rays_traced=rays,
+        )
+        if readback_framebuffer:
+            self.img = np.asarray(self._tonemap_jit(self._accum))
+        self.frame_id += 1
+        return stats

@@ -1,0 +1,32 @@
+"""The flagship `tpu` backend: LBVH wavefront path tracer.
+
+set_scene flattens the scene and builds per-mesh LBVHs on device
+(SURVEY.md §7 steps 3-4); render runs the shared wavefront algorithm with
+the lockstep BVH traversal kernels. Single-chip here; the sharded multi-chip
+variant lives in chameleonrt_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+from chameleonrt_tpu.engine.backend_base import JaxRenderBackend
+from chameleonrt_tpu.engine.device_scene import build_device_scene
+from chameleonrt_tpu.engine.trace_bvh import build_blas_set, make_trace_fns
+from chameleonrt_tpu.scene.types import Scene
+
+
+class TpuBackend(JaxRenderBackend):
+    def __init__(self, report_ray_stats: bool = True):
+        super().__init__(report_ray_stats=report_ray_stats)
+        self.blas_set = None
+
+    @property
+    def name(self) -> str:
+        return "TPU wavefront (LBVH)"
+
+    def prepare_scene(self, scene: Scene):
+        flat, meta = build_device_scene(scene)
+        self.blas_set = build_blas_set(flat, meta)
+        return flat, meta
+
+    def make_trace_fns(self, meta):
+        return make_trace_fns(meta, self.blas_set)

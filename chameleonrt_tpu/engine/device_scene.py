@@ -1,0 +1,236 @@
+"""Scene -> device arrays (the TPU-native analogue of `set_scene`).
+
+Where the reference's set_scene uploads vertex/index buffers, builds BLAS/TLAS
+via vendor APIs, and fills SBTs (backends/optix/render_optix.cpp:124-267),
+the TPU engine flattens the Scene into padded SoA jax arrays: pre-gathered
+per-triangle (v0, e1, e2) + per-corner UVs for intersection/shading without
+index-buffer indirection, a packed material table whose float slots may carry
+texture handles, a quad-light table, and one flat texture atlas (SRGB images
+linearized on upload, reference render_embree.cpp:90-104).
+
+Static scene structure (mesh triangle ranges, instance->mesh mapping) lives in
+SceneMeta, a hashable host-side companion, so jitted render functions can
+specialize on it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from chameleonrt_tpu.ops.bsdf import MaterialBatch
+from chameleonrt_tpu.ops.lights import LightArrays
+from chameleonrt_tpu.ops.texture import TextureAtlas, textured_color_param, textured_scalar_param
+from chameleonrt_tpu.scene.types import ColorSpace, MaterialMode, Scene
+from chameleonrt_tpu.utils.util import srgb_to_linear
+
+
+class FlatScene(NamedTuple):
+    """Device-resident scene (all jnp arrays)."""
+
+    # Triangle soup, concatenated over all meshes/geometries (object space).
+    tri_v0: jnp.ndarray  # (T, 3)
+    tri_e1: jnp.ndarray  # (T, 3)
+    tri_e2: jnp.ndarray  # (T, 3)
+    tri_uv0: jnp.ndarray  # (T, 2)
+    tri_uv1: jnp.ndarray  # (T, 2)
+    tri_uv2: jnp.ndarray  # (T, 2)
+    tri_geom_slot: jnp.ndarray  # (T,) int32: geometry index within its mesh
+    # Instances
+    inst_transform: jnp.ndarray  # (I, 4, 4)
+    inst_inv: jnp.ndarray  # (I, 4, 4) world-to-object
+    inst_mat_table: jnp.ndarray  # (I, G_max) int32 material ids per geom slot
+    # Appearance
+    materials: MaterialBatch  # (M,) fields
+    lights: LightArrays  # (L,) fields
+    atlas: TextureAtlas
+
+
+@dataclass(frozen=True)
+class SceneMeta:
+    """Hashable static structure for jit specialization."""
+
+    mesh_tri_ranges: Tuple[Tuple[int, int], ...]  # (start, count) per mesh
+    inst_mesh: Tuple[int, ...]  # mesh id per instance
+    num_lights: int
+    num_tris: int
+    num_instances: int
+
+    @property
+    def single_identity_instance(self) -> bool:
+        return self.num_instances == 1
+
+
+def build_device_scene(scene: Scene) -> Tuple[FlatScene, SceneMeta]:
+    scene.validate_materials()
+
+    v0s, e1s, e2s = [], [], []
+    uv0s, uv1s, uv2s = [], [], []
+    geom_slots = []
+    mesh_ranges = []
+    start = 0
+    for mesh in scene.meshes:
+        count = 0
+        for gi, geom in enumerate(mesh.geometries):
+            idx = geom.indices.astype(np.int64)
+            v = geom.vertices
+            a = v[idx[:, 0]]
+            b = v[idx[:, 1]]
+            c = v[idx[:, 2]]
+            v0s.append(a)
+            e1s.append(b - a)
+            e2s.append(c - a)
+            if geom.uvs is not None:
+                uv = geom.uvs
+                uv0s.append(uv[idx[:, 0]])
+                uv1s.append(uv[idx[:, 1]])
+                uv2s.append(uv[idx[:, 2]])
+            else:
+                z = np.zeros((len(idx), 2), np.float32)
+                uv0s.append(z)
+                uv1s.append(z)
+                uv2s.append(z)
+            geom_slots.append(np.full(len(idx), gi, np.int32))
+            count += len(idx)
+        mesh_ranges.append((start, count))
+        start += count
+    num_tris = start
+
+    def cat(parts, width):
+        if parts:
+            return np.ascontiguousarray(np.concatenate(parts), dtype=np.float32)
+        return np.zeros((0, width), np.float32)
+
+    tri_v0 = cat(v0s, 3)
+    tri_e1 = cat(e1s, 3)
+    tri_e2 = cat(e2s, 3)
+    tri_uv0 = cat(uv0s, 2)
+    tri_uv1 = cat(uv1s, 2)
+    tri_uv2 = cat(uv2s, 2)
+    tri_geom_slot = (
+        np.concatenate(geom_slots) if geom_slots else np.zeros(0, np.int32)
+    ).astype(np.int32)
+
+    # Instances
+    n_inst = len(scene.instances)
+    g_max = max((len(m.geometries) for m in scene.meshes), default=1)
+    inst_transform = np.zeros((n_inst, 4, 4), np.float32)
+    inst_inv = np.zeros((n_inst, 4, 4), np.float32)
+    inst_mat_table = np.zeros((n_inst, g_max), np.int32)
+    inst_mesh = []
+    for i, inst in enumerate(scene.instances):
+        pm = scene.parameterized_meshes[inst.parameterized_mesh_id]
+        inst_mesh.append(pm.mesh_id)
+        inst_transform[i] = inst.transform
+        inst_inv[i] = np.linalg.inv(inst.transform)
+        mids = pm.material_ids
+        inst_mat_table[i, : len(mids)] = np.asarray(mids, np.int32)
+
+    # Materials -> SoA MaterialBatch (float slots keep texture-handle bits)
+    n_mat = max(len(scene.materials), 1)
+    packed = np.zeros((n_mat, 14), np.float32)
+    from chameleonrt_tpu.scene.types import DisneyMaterial
+
+    mats = scene.materials if scene.materials else [DisneyMaterial()]
+    for i, m in enumerate(mats):
+        packed[i] = m.pack()
+    materials = MaterialBatch(
+        base_color=jnp.asarray(packed[:, 0:3]),
+        metallic=jnp.asarray(packed[:, 3]),
+        specular=jnp.asarray(packed[:, 4]),
+        roughness=jnp.asarray(packed[:, 5]),
+        specular_tint=jnp.asarray(packed[:, 6]),
+        anisotropy=jnp.asarray(packed[:, 7]),
+        sheen=jnp.asarray(packed[:, 8]),
+        sheen_tint=jnp.asarray(packed[:, 9]),
+        clearcoat=jnp.asarray(packed[:, 10]),
+        clearcoat_gloss=jnp.asarray(packed[:, 11]),
+        ior=jnp.asarray(packed[:, 12]),
+        specular_transmission=jnp.asarray(packed[:, 13]),
+    )
+
+    # Lights (always at least one: loaders generate one when missing)
+    if not scene.lights:
+        from chameleonrt_tpu.scene.types import default_obj_light
+
+        scene.lights = [default_obj_light()]
+    lights = LightArrays.from_scene_lights(scene.lights)
+
+    # Texture atlas: SRGB color textures linearized on upload
+    if scene.textures and scene.material_mode != MaterialMode.WHITE_DIFFUSE:
+        texels = []
+        table = np.zeros((len(scene.textures), 3), np.int32)
+        off = 0
+        for ti, img in enumerate(scene.textures):
+            h, w, c = img.data.shape
+            rgba = np.ones((h, w, 4), np.float32)
+            fdata = img.data.astype(np.float32) / 255.0
+            if img.color_space == ColorSpace.SRGB:
+                # alpha channel stays linear
+                ncol = min(c, 3)
+                fdata[..., :ncol] = srgb_to_linear(fdata[..., :ncol])
+            if c == 1:
+                rgba[..., 0:3] = fdata
+            elif c == 2:
+                rgba[..., 0:3] = fdata[..., 0:1]
+                rgba[..., 3] = fdata[..., 1]
+            else:
+                rgba[..., :c] = fdata
+            texels.append(rgba.reshape(-1, 4))
+            table[ti] = (off, w, h)
+            off += w * h
+        atlas = TextureAtlas(
+            atlas=jnp.asarray(np.concatenate(texels)), table=jnp.asarray(table)
+        )
+    else:
+        atlas = TextureAtlas.empty()
+
+    flat = FlatScene(
+        tri_v0=jnp.asarray(tri_v0),
+        tri_e1=jnp.asarray(tri_e1),
+        tri_e2=jnp.asarray(tri_e2),
+        tri_uv0=jnp.asarray(tri_uv0),
+        tri_uv1=jnp.asarray(tri_uv1),
+        tri_uv2=jnp.asarray(tri_uv2),
+        tri_geom_slot=jnp.asarray(tri_geom_slot),
+        inst_transform=jnp.asarray(inst_transform),
+        inst_inv=jnp.asarray(inst_inv),
+        inst_mat_table=jnp.asarray(inst_mat_table),
+        materials=materials,
+        lights=lights,
+        atlas=atlas,
+    )
+    meta = SceneMeta(
+        mesh_tri_ranges=tuple(mesh_ranges),
+        inst_mesh=tuple(inst_mesh),
+        num_lights=len(scene.lights),
+        num_tris=num_tris,
+        num_instances=n_inst,
+    )
+    return flat, meta
+
+
+def unpack_material(flat: FlatScene, mat_id, uv) -> MaterialBatch:
+    """Gather the material record per lane and resolve texture handles
+    (reference render_embree.ispc:79-103 unpack_material)."""
+    m = flat.materials
+    mat_id = jnp.clip(mat_id, 0, m.metallic.shape[0] - 1)
+    g = MaterialBatch(*(f[mat_id] for f in m))
+    atlas = flat.atlas
+    return MaterialBatch(
+        base_color=textured_color_param(atlas, g.base_color, uv),
+        metallic=textured_scalar_param(atlas, g.metallic, uv),
+        specular=textured_scalar_param(atlas, g.specular, uv),
+        roughness=textured_scalar_param(atlas, g.roughness, uv),
+        specular_tint=textured_scalar_param(atlas, g.specular_tint, uv),
+        anisotropy=textured_scalar_param(atlas, g.anisotropy, uv),
+        sheen=textured_scalar_param(atlas, g.sheen, uv),
+        sheen_tint=textured_scalar_param(atlas, g.sheen_tint, uv),
+        clearcoat=textured_scalar_param(atlas, g.clearcoat, uv),
+        clearcoat_gloss=textured_scalar_param(atlas, g.clearcoat_gloss, uv),
+        ior=textured_scalar_param(atlas, g.ior, uv),
+        specular_transmission=textured_scalar_param(atlas, g.specular_transmission, uv),
+    )

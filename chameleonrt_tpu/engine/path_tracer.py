@@ -1,0 +1,268 @@
+"""The wavefront path-tracing core (jax).
+
+This is the one rendering algorithm every reference backend re-implements per
+shader language (backends/embree/render_embree.ispc:198-355): jittered
+perspective camera rays -> bounded path loop (MAX_PATH_DEPTH=5) with Disney
+BSDF + MIS next-event estimation on quad lights -> Russian roulette after
+bounce 3 -> progressive accumulation. Re-designed TPU-first: instead of one
+divergent megakernel per pixel thread, the whole pixel wavefront advances in
+lockstep through `lax.fori_loop` bounces with active-lane masks, every stage a
+wide VPU op over (R,)-shaped arrays. Traversal is injected as a pair of
+functions so the brute-force oracle backend and the LBVH backend share the
+exact same shading/NEE/RNG code (the reference's "same algorithm, different
+traversal" seam).
+
+RNG draw order per lane matches the Embree variant exactly
+(seed get_rng(pixel_id, frame_id*spp+1+s), render_embree.ispc:213-214):
+[jitter_x, jitter_y] then per bounce [light_pick, light_u, light_v,
+bsdf-branch (component, u1, u2), continuation (component, u1, u2),
+rr (bounces > 3)], so images agree with a faithful CPU implementation
+sample-for-sample up to float associativity.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from chameleonrt_tpu.engine.device_scene import FlatScene, SceneMeta, unpack_material
+from chameleonrt_tpu.ops import bsdf as bsdf_ops
+from chameleonrt_tpu.ops import camera as camera_ops
+from chameleonrt_tpu.ops import lights as light_ops
+from chameleonrt_tpu.ops import rng as rng_ops
+from chameleonrt_tpu.ops.intersect import Hit
+from chameleonrt_tpu.ops.math import (
+    EPSILON,
+    MAX_PATH_DEPTH,
+    dot,
+    length,
+    normalize,
+    ortho_basis,
+    power_heuristic,
+)
+
+# trace_closest(flat, orig, dir, t_min, active) -> Hit
+TraceClosestFn = Callable[..., Hit]
+# trace_any(flat, orig, dir, t_max, mask) -> occluded bool (R,); t_min=EPSILON
+# implied (shadow rays always start at EPSILON, render_embree.ispc:142,168)
+TraceAnyFn = Callable[..., jnp.ndarray]
+
+
+class ShadeResult(NamedTuple):
+    state: jnp.ndarray
+    illum: jnp.ndarray
+    throughput: jnp.ndarray
+    next_dir: jnp.ndarray
+    alive: jnp.ndarray
+    shadow_rays: jnp.ndarray  # int32 count of occlusion rays traced
+
+
+def _sample_direct_light(
+    flat: FlatScene,
+    meta: SceneMeta,
+    trace_any: TraceAnyFn,
+    mat: bsdf_ops.MaterialBatch,
+    hit_p,
+    n,
+    v_x,
+    v_y,
+    w_o,
+    state,
+    active,
+):
+    """NEE with MIS over {light sample, bsdf sample}
+    (reference render_embree.ispc:105-181). Returns (state, illum, rays)."""
+    num_lights = meta.num_lights
+    state, u_l = rng_ops.lcg_randomf(state)
+    light_id = jnp.minimum(
+        (u_l * num_lights).astype(jnp.int32), num_lights - 1
+    )
+    light = flat.lights.gather(light_id)
+
+    # --- Light-sampling branch: always traces a shadow ray (ispc:132-153)
+    state, s2 = rng_ops.lcg_randomf2(state)
+    light_pos = light_ops.sample_quad_light_position(light, s2)
+    to_light = light_pos - hit_p
+    light_dist = length(to_light)
+    light_dir = normalize(to_light)
+    light_pdf = light_ops.quad_light_pdf(light, light_pos, hit_p, light_dir)
+    b_pdf = bsdf_ops.disney_pdf(mat, n, w_o, light_dir, v_x, v_y)
+    occluded1 = trace_any(flat, hit_p, light_dir, light_dist, active)
+    f1 = bsdf_ops.disney_brdf(mat, n, w_o, light_dir, v_x, v_y)
+    w1 = power_heuristic(1.0, light_pdf, 1.0, b_pdf)
+    take1 = (
+        active
+        & (light_pdf >= EPSILON)
+        & (b_pdf >= EPSILON)
+        & ~occluded1
+    )
+    contrib1 = jnp.where(
+        take1[..., None],
+        f1
+        * light.emission
+        * jnp.abs(dot(light_dir, n))[..., None]
+        * (w1 / jnp.maximum(light_pdf, 1e-20))[..., None],
+        0.0,
+    )
+
+    # --- BSDF-sampling branch (ispc:155-179)
+    state, f2, w_i, pdf2 = bsdf_ops.sample_disney_brdf(mat, n, w_o, v_x, v_y, state)
+    qhit, t_light, light_pos2 = light_ops.quad_intersect(light, hit_p, w_i)
+    light_pdf2 = light_ops.quad_light_pdf(light, light_pos2, hit_p, w_i)
+    f2_nonzero = jnp.any(f2 != 0.0, axis=-1)
+    shoot = active & f2_nonzero & (pdf2 >= EPSILON) & qhit & (light_pdf2 >= EPSILON)
+    occluded2 = trace_any(flat, hit_p, w_i, t_light, shoot)
+    w2 = power_heuristic(1.0, pdf2, 1.0, light_pdf2)
+    take2 = shoot & ~occluded2
+    contrib2 = jnp.where(
+        take2[..., None],
+        f2
+        * light.emission
+        * jnp.abs(dot(w_i, n))[..., None]
+        * (w2 / jnp.maximum(pdf2, 1e-20))[..., None],
+        0.0,
+    )
+
+    rays = active.astype(jnp.int32).sum() + shoot.astype(jnp.int32).sum()
+    return state, contrib1 + contrib2, rays
+
+
+def trace_path(
+    flat: FlatScene,
+    meta: SceneMeta,
+    trace_closest: TraceClosestFn,
+    trace_any: TraceAnyFn,
+    orig,
+    dir,
+    state,
+):
+    """One full path per lane starting from the given primary rays.
+    Returns (state, illum (R,3), rays_traced int32)."""
+    R = orig.shape[0]
+    illum = jnp.zeros((R, 3), jnp.float32)
+    throughput = jnp.ones((R, 3), jnp.float32)
+    active = jnp.ones((R,), bool)
+    rays = jnp.int32(0)
+    t_min = jnp.float32(0.0)
+
+    def bounce_body(bounce, carry):
+        state, orig, dir, t_min, throughput, illum, active, rays = carry
+        hit = trace_closest(flat, orig, dir, t_min, active)
+        rays = rays + active.astype(jnp.int32).sum()
+
+        w_o = -dir
+        missed = active & ~hit.hit
+        illum = illum + jnp.where(
+            missed[..., None], throughput * camera_ops.miss_shader(dir), 0.0
+        )
+        active = active & hit.hit
+
+        # --- Shading inputs (masked lanes use clamped-safe gathers)
+        tri = jnp.clip(hit.tri, 0, max(meta.num_tris - 1, 0))
+        inst = jnp.clip(hit.inst, 0, meta.num_instances - 1)
+        hit_p = orig + hit.t[..., None] * dir
+        e1 = flat.tri_e1[tri]
+        e2 = flat.tri_e2[tri]
+        ng_obj = jnp.cross(e1, e2)
+        inv = flat.inst_inv[inst]
+        # world normal = (world_to_object)^T * ng  (ispc:287-290)
+        normal = normalize(jnp.einsum("rji,rj->ri", inv[:, :3, :3], ng_obj))
+        uv = (
+            (1.0 - hit.u - hit.v)[..., None] * flat.tri_uv0[tri]
+            + hit.u[..., None] * flat.tri_uv1[tri]
+            + hit.v[..., None] * flat.tri_uv2[tri]
+        )
+        mat_id = flat.inst_mat_table[inst, flat.tri_geom_slot[tri]]
+        mat = unpack_material(flat, mat_id, uv)
+
+        # Face-forward for non-transmissive materials (ispc:297-299)
+        flip = (mat.specular_transmission == 0.0) & (dot(w_o, normal) < 0.0)
+        normal = jnp.where(flip[..., None], -normal, normal)
+        v_x, v_y = ortho_basis(normal)
+
+        state, direct, shadow_rays = _sample_direct_light(
+            flat, meta, trace_any, mat, hit_p, normal, v_x, v_y, w_o, state, active
+        )
+        rays = rays + shadow_rays
+        illum = illum + jnp.where(active[..., None], throughput * direct, 0.0)
+
+        # Continuation (ispc:313-320)
+        state, f, w_i, pdf = bsdf_ops.sample_disney_brdf(mat, normal, w_o, v_x, v_y, state)
+        cont_ok = (pdf != 0.0) & jnp.any(f != 0.0, axis=-1)
+        throughput = jnp.where(
+            active[..., None],
+            throughput
+            * f
+            * (jnp.abs(dot(w_i, normal)) / jnp.where(pdf == 0.0, 1.0, pdf))[..., None],
+            throughput,
+        )
+        active = active & cont_ok
+        orig = jnp.where(active[..., None], hit_p, orig)
+        dir = jnp.where(active[..., None], w_i, dir)
+        t_min = jnp.float32(EPSILON)
+
+        # Russian roulette after bounce 3 (ispc:327-335)
+        do_rr = (bounce + 1) > 3
+        state_rr, u_rr = rng_ops.lcg_randomf(state)
+        state = jnp.where(do_rr, state_rr, state)
+        q = jnp.maximum(0.05, 1.0 - jnp.max(throughput, axis=-1))
+        killed = do_rr & (u_rr < q)
+        active = active & ~killed
+        throughput = jnp.where(
+            (do_rr & active)[..., None],
+            throughput / jnp.maximum(1.0 - q, 1e-6)[..., None],
+            throughput,
+        )
+        return state, orig, dir, t_min, throughput, illum, active, rays
+
+    carry = (state, orig, dir, t_min, throughput, illum, active, rays)
+    carry = jax.lax.fori_loop(0, MAX_PATH_DEPTH, bounce_body, carry)
+    state, _, _, _, _, illum, _, rays = carry
+    return state, illum, rays
+
+
+def render_pixels(
+    flat: FlatScene,
+    meta: SceneMeta,
+    trace_closest: TraceClosestFn,
+    trace_any: TraceAnyFn,
+    view: camera_ops.ViewParams,
+    frame_id,
+    pixel_x,
+    pixel_y,
+    fb_width: int,
+    fb_height: int,
+    spp: int,
+):
+    """Render one progressive frame's illumination for the given pixels.
+    Returns (illum (R, 3) averaged over spp, rays_traced int32 scalar)."""
+    pixel_id = (pixel_x + pixel_y * fb_width).astype(jnp.uint32)
+    R = pixel_id.shape[0]
+
+    def sample_body(s, carry):
+        illum_acc, rays_acc = carry
+        # embree-variant seeding (ispc:213-214)
+        state = rng_ops.get_rng(
+            pixel_id, jnp.uint32(frame_id) * jnp.uint32(spp) + jnp.uint32(1) + jnp.uint32(s)
+        )
+        state, orig, dir = camera_ops.generate_primary_rays(
+            view, pixel_x, pixel_y, float(fb_width), float(fb_height), state
+        )
+        state, illum, rays = trace_path(
+            flat, meta, trace_closest, trace_any, orig, dir, state
+        )
+        return illum_acc + illum, rays_acc + rays
+
+    illum_sum, rays = jax.lax.fori_loop(
+        0, spp, sample_body, (jnp.zeros((R, 3), jnp.float32), jnp.int32(0))
+    )
+    return illum_sum / jnp.float32(spp), rays
+
+
+def progressive_accum(accum, illum, frame_id):
+    """Running-average accumulation (ispc:345-353):
+    accum' = (illum + frame_id * accum) / (frame_id + 1)."""
+    fid = jnp.float32(frame_id)
+    return (illum + fid * accum) / (fid + 1.0)

@@ -1,0 +1,117 @@
+"""BVH-accelerated scene traversal: per-mesh BLAS + instance loop.
+
+The traversal layer of the flagship TPU backend (SURVEY.md §7 steps 3-4):
+each mesh's triangle range gets an on-device LBVH (BLAS); rays are
+transformed into each instance's object space and traverse that BLAS with the
+lockstep wavefront kernel in ops/traverse. Closest hits across instances
+merge by t (the object-space parameterization preserves world t).
+
+For the common single-instance case (e.g. every OBJ scene,
+reference util/scene.cpp:182-186) the loop collapses to one BLAS traversal
+with no transform overhead. A BVH TLAS over instance world AABBs is the
+planned upgrade for scenes with many instances.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from chameleonrt_tpu.engine.device_scene import FlatScene, SceneMeta
+from chameleonrt_tpu.ops.intersect import Hit, T_MAX
+from chameleonrt_tpu.ops.lbvh import Bvh, build_bvh, triangle_aabbs
+from chameleonrt_tpu.ops.math import EPSILON, transform_point, transform_vector
+from chameleonrt_tpu.ops.traverse import traverse_any, traverse_closest
+
+
+def build_blas_set(flat: FlatScene, meta: SceneMeta) -> Tuple[Bvh, ...]:
+    """Build one LBVH per mesh over its triangle range (the set_scene
+    BLAS-build phase, reference render_optix.cpp:134-172, minus vendor
+    APIs). Returned prim ids are LOCAL to the mesh range."""
+    import jax
+
+    blas = []
+    build = jax.jit(build_bvh)
+    for start, count in meta.mesh_tri_ranges:
+        v0 = flat.tri_v0[start : start + count]
+        e1 = flat.tri_e1[start : start + count]
+        e2 = flat.tri_e2[start : start + count]
+        tmin, tmax = triangle_aabbs(v0, e1, e2)
+        blas.append(jax.block_until_ready(build(tmin, tmax)))
+    return tuple(blas)
+
+
+def make_trace_fns(meta: SceneMeta, blas_set: Tuple[Bvh, ...]):
+    """(trace_closest, trace_any) using per-mesh BLAS traversal with a
+    statically unrolled instance loop."""
+
+    def _object_rays(flat: FlatScene, inst_id: int, orig, dir):
+        if meta.num_instances == 1:
+            # identity fast path is common; still apply transform if not eye
+            pass
+        inv = flat.inst_inv[inst_id]
+        return (
+            transform_point(inv[None], orig),
+            transform_vector(inv[None], dir),
+        )
+
+    def trace_closest(flat: FlatScene, orig, dir, t_min, active):
+        best = Hit.none(orig.shape[:1])
+        for inst_id, mesh_id in enumerate(meta.inst_mesh):
+            start, count = meta.mesh_tri_ranges[mesh_id]
+            if count == 0:
+                continue
+            bvh = blas_set[mesh_id]
+            o, d = _object_rays(flat, inst_id, orig, dir)
+            t, prim, u, v = traverse_closest(
+                bvh,
+                flat.tri_v0[start : start + count],
+                flat.tri_e1[start : start + count],
+                flat.tri_e2[start : start + count],
+                o,
+                d,
+                jnp.broadcast_to(jnp.float32(t_min), o.shape[:1]),
+                active,
+                t_max=best.t,
+            )
+            found = prim >= 0
+            cand = Hit(
+                t=jnp.where(found, t, T_MAX),
+                tri=jnp.where(found, prim + start, -1),
+                inst=jnp.where(found, inst_id, -1),
+                u=u,
+                v=v,
+            )
+            best = best.merge(cand)
+        return Hit(
+            t=jnp.where(active, best.t, T_MAX),
+            tri=jnp.where(active, best.tri, -1),
+            inst=jnp.where(active, best.inst, -1),
+            u=best.u,
+            v=best.v,
+        )
+
+    def trace_any(flat: FlatScene, orig, dir, t_max, mask):
+        occluded = jnp.zeros(orig.shape[:1], bool)
+        for inst_id, mesh_id in enumerate(meta.inst_mesh):
+            start, count = meta.mesh_tri_ranges[mesh_id]
+            if count == 0:
+                continue
+            bvh = blas_set[mesh_id]
+            o, d = _object_rays(flat, inst_id, orig, dir)
+            occluded = occluded | traverse_any(
+                bvh,
+                flat.tri_v0[start : start + count],
+                flat.tri_e1[start : start + count],
+                flat.tri_e2[start : start + count],
+                o,
+                d,
+                jnp.broadcast_to(jnp.float32(EPSILON), o.shape[:1]),
+                t_max,
+                mask & ~occluded,
+            )
+        return occluded & mask
+
+    return trace_closest, trace_any

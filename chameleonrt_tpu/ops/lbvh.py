@@ -1,0 +1,246 @@
+"""On-device LBVH construction (jax, fully vectorized).
+
+The reference gets BVH build + traversal from vendor RT APIs
+(rtcCommitScene / optixAccelBuild / DXR / VK / Metal — SURVEY.md §7). TPUs
+have none, so the acceleration structure is a first-class component built
+on-device with XLA-friendly, sort-based primitives:
+
+  1. 30-bit Morton codes of quantized triangle centroids (bit-interleave),
+  2. radix order via jnp.sort of (morton << 32 | index) keys,
+  3. uniform leaves of LEAF_SIZE consecutive sorted triangles (uniform leaves
+     keep the traversal kernel's triangle tests rectangular for the VPU),
+  4. Karras-2012-style internal hierarchy emitted in parallel over all nodes
+     (binary search on common-prefix lengths; no sequential insertion),
+  5. bottom-up AABB refit by readiness propagation (O(depth) vectorized
+     passes inside lax.while_loop).
+
+Node layout (SoA, 2N-1 nodes for N leaves): internal nodes occupy
+[0, N-2] with root at 0; leaf k is node (N-1)+k and covers sorted triangle
+positions [k*LEAF_SIZE, (k+1)*LEAF_SIZE). A child index >= N-1 therefore
+denotes a leaf — one integer compare in the traversal hot loop.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+LEAF_SIZE = 4
+
+
+class Bvh(NamedTuple):
+    """Flat SoA BVH over one triangle range (a BLAS) or over instance AABBs
+    (a TLAS)."""
+
+    node_min: jnp.ndarray  # (2N-1, 3) float32
+    node_max: jnp.ndarray  # (2N-1, 3) float32
+    node_left: jnp.ndarray  # (2N-1,) int32 (valid for internal nodes)
+    node_right: jnp.ndarray  # (2N-1,) int32
+    prim_order: jnp.ndarray  # (N * LEAF_SIZE,) int32 original prim ids, -1 pad
+
+    @property
+    def num_leaves(self) -> int:
+        return (self.node_left.shape[0] + 1) // 2
+
+
+def _expand_bits_10(v):
+    """Spread the low 10 bits of v so there are 2 zero bits between each
+    (classic Morton bit-interleave)."""
+    v = v & jnp.uint32(0x3FF)
+    v = (v | (v << jnp.uint32(16))) & jnp.uint32(0x030000FF)
+    v = (v | (v << jnp.uint32(8))) & jnp.uint32(0x0300F00F)
+    v = (v | (v << jnp.uint32(4))) & jnp.uint32(0x030C30C3)
+    v = (v | (v << jnp.uint32(2))) & jnp.uint32(0x09249249)
+    return v
+
+
+def morton_codes(centroids, scene_min, scene_max):
+    """30-bit Morton codes for points quantized to a 1024^3 grid over the
+    scene bounds."""
+    extent = jnp.maximum(scene_max - scene_min, 1e-12)
+    q = jnp.clip((centroids - scene_min) / extent, 0.0, 0.99999994)
+    cell = (q * 1024.0).astype(jnp.uint32)
+    return (
+        (_expand_bits_10(cell[..., 0]) << jnp.uint32(2))
+        | (_expand_bits_10(cell[..., 1]) << jnp.uint32(1))
+        | _expand_bits_10(cell[..., 2])
+    )
+
+
+def _clz32(x):
+    """Count leading zeros of uint32 (bit-halving loop, 5 steps)."""
+    x = x.astype(jnp.uint32)
+    n = jnp.zeros(x.shape, jnp.int32)
+    for shift in (16, 8, 4, 2, 1):
+        high = x >> jnp.uint32(shift)
+        has_high = high != 0
+        n = jnp.where(has_high, n, n + shift)
+        x = jnp.where(has_high, high, x)
+    return jnp.where(x == 0, 32, n)
+
+
+def _build_karras(keys):
+    """Emit the internal hierarchy for N sorted uint32 keys. Duplicate keys
+    are disambiguated by position (the standard Karras augmentation: when
+    morton codes match, the prefix metric extends with clz of the index
+    XOR, i.e. a conceptual 64-bit key without needing uint64). Returns
+    (left, right) child node indices for internal nodes [0, N-2], using the
+    node layout documented in the module docstring."""
+    N = keys.shape[0]
+    n_internal = N - 1
+    i = jnp.arange(n_internal, dtype=jnp.int32)
+
+    def delta(a, b):
+        """Augmented common-prefix length of keys a and b; -1 out of range."""
+        b_ok = (b >= 0) & (b < N)
+        bc = jnp.clip(b, 0, N - 1)
+        ka = keys[a]
+        kb = keys[bc]
+        d = _clz32(ka ^ kb)
+        tie = _clz32(a.astype(jnp.uint32) ^ bc.astype(jnp.uint32))
+        d = jnp.where(ka == kb, 32 + tie, d)
+        return jnp.where(b_ok, d, -1)
+
+    # Direction of the range: toward the longer common prefix.
+    d = jnp.sign(delta(i, i + 1) - delta(i, i - 1)).astype(jnp.int32)
+    d = jnp.where(d == 0, 1, d)
+    delta_min = delta(i, i - d)
+
+    # Upper bound on range length by galloping (ceil(log2 N)+2 doublings).
+    import math
+
+    steps = max(int(math.ceil(math.log2(max(N, 2)))) + 2, 2)
+    lmax = jnp.full_like(i, 2)
+    for _ in range(steps):
+        probe = delta(i, i + lmax * d) > delta_min
+        lmax = jnp.where(probe, lmax * 2, lmax)
+
+    # Binary search the exact other end j.
+    l = jnp.zeros_like(i)
+    t = lmax // 2
+    for _ in range(steps + 1):
+        probe = delta(i, i + (l + t) * d) > delta_min
+        l = jnp.where((t > 0) & probe, l + t, l)
+        t = t // 2
+    j = i + l * d
+
+    # Split position: highest differing bit within [min(i,j), max(i,j)].
+    delta_node = delta(i, j)
+    s = jnp.zeros_like(i)
+    t = (l + 1) // 2
+
+    def ceil_half(x):
+        return (x + 1) // 2
+
+    tt = t
+    for _ in range(steps + 1):
+        probe = delta(i, i + (s + tt) * d) > delta_node
+        s = jnp.where((tt > 0) & probe, s + tt, s)
+        tt = jnp.where(tt > 1, ceil_half(tt), jnp.where(tt == 1, 0, tt))
+    gamma = i + s * d + jnp.minimum(d, 0)
+
+    lo = jnp.minimum(i, j)
+    hi = jnp.maximum(i, j)
+    leaf_base = jnp.int32(N - 1)
+    left = jnp.where(lo == gamma, leaf_base + gamma, gamma)
+    right = jnp.where(hi == gamma + 1, leaf_base + gamma + 1, gamma + 1)
+    return left, right
+
+
+def _refit(node_left, node_right, leaf_min, leaf_max, n_leaves):
+    """Bottom-up AABB refit by readiness propagation: each pass fills every
+    internal node whose children are both ready; O(tree depth) passes."""
+    n_internal = n_leaves - 1
+    total = 2 * n_leaves - 1
+    node_min = jnp.full((total, 3), jnp.inf, jnp.float32).at[n_internal:].set(leaf_min)
+    node_max = jnp.full((total, 3), -jnp.inf, jnp.float32).at[n_internal:].set(leaf_max)
+    ready = jnp.zeros((total,), bool).at[n_internal:].set(True)
+
+    def cond(state):
+        node_min, node_max, ready, it = state
+        return (~ready[0]) & (it < total + 2)
+
+    def body(state):
+        node_min, node_max, ready, it = state
+        idx = jnp.arange(n_internal)
+        lc = node_left[idx]
+        rc = node_right[idx]
+        can = ready[lc] & ready[rc] & ~ready[idx]
+        new_min = jnp.minimum(node_min[lc], node_min[rc])
+        new_max = jnp.maximum(node_max[lc], node_max[rc])
+        node_min = node_min.at[idx].set(jnp.where(can[:, None], new_min, node_min[idx]))
+        node_max = node_max.at[idx].set(jnp.where(can[:, None], new_max, node_max[idx]))
+        ready = ready.at[idx].set(ready[idx] | can)
+        return node_min, node_max, ready, it + 1
+
+    node_min, node_max, ready, _ = jax.lax.while_loop(
+        cond, body, (node_min, node_max, ready, jnp.int32(0))
+    )
+    return node_min, node_max
+
+
+def build_bvh(prim_min, prim_max, leaf_size: int = LEAF_SIZE) -> Bvh:
+    """Build an LBVH over primitives given their AABBs (num_prims, 3)x2.
+    Fully jax-traceable; jit-compatible for fixed primitive counts."""
+    T = prim_min.shape[0]
+    assert T >= 1
+    centroids = 0.5 * (prim_min + prim_max)
+    scene_min = jnp.min(prim_min, axis=0)
+    scene_max = jnp.max(prim_max, axis=0)
+    codes = morton_codes(centroids, scene_min, scene_max)
+    # Stable argsort keeps duplicate-code runs in index order, which the
+    # augmented prefix metric in _build_karras relies on.
+    order = jnp.argsort(codes, stable=True).astype(jnp.int32)
+    sorted_codes = codes[order]
+
+    n_leaves = max((T + leaf_size - 1) // leaf_size, 1)
+    pad = n_leaves * leaf_size - T
+    prim_order = jnp.concatenate(
+        [order, jnp.full((pad,), -1, jnp.int32)]
+    )
+
+    # Leaf AABBs over their (padded) triangle runs.
+    runs = prim_order.reshape(n_leaves, leaf_size)
+    safe = jnp.maximum(runs, 0)
+    run_min = jnp.where(
+        (runs >= 0)[..., None], prim_min[safe], jnp.inf
+    ).min(axis=1)
+    run_max = jnp.where(
+        (runs >= 0)[..., None], prim_max[safe], -jnp.inf
+    ).max(axis=1)
+
+    if n_leaves == 1:
+        return Bvh(
+            node_min=run_min,
+            node_max=run_max,
+            node_left=jnp.zeros((1,), jnp.int32),
+            node_right=jnp.zeros((1,), jnp.int32),
+            prim_order=prim_order,
+        )
+
+    # Leaf keys for hierarchy emission: first (sorted) key of each leaf run.
+    leaf_keys = sorted_codes[:: leaf_size]
+    left, right = _build_karras(leaf_keys)
+    n_internal = n_leaves - 1
+    total = 2 * n_leaves - 1
+    node_left = jnp.concatenate([left, jnp.zeros((n_leaves,), jnp.int32)])
+    node_right = jnp.concatenate([right, jnp.zeros((n_leaves,), jnp.int32)])
+    node_min, node_max = _refit(node_left, node_right, run_min, run_max, n_leaves)
+    return Bvh(
+        node_min=node_min,
+        node_max=node_max,
+        node_left=node_left,
+        node_right=node_right,
+        prim_order=prim_order,
+    )
+
+
+def triangle_aabbs(v0, e1, e2):
+    """AABBs for (v0, e1, e2)-form triangles."""
+    p1 = v0 + e1
+    p2 = v0 + e2
+    tmin = jnp.minimum(jnp.minimum(v0, p1), p2)
+    tmax = jnp.maximum(jnp.maximum(v0, p1), p2)
+    return tmin, tmax

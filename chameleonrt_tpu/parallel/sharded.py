@@ -1,0 +1,94 @@
+"""Multi-chip rendering: pixel-row sharding over a `jax.sharding.Mesh`.
+
+The TPU-native replacement for the reference's intra-node parallelism (TBB
+tiles / SIMT megakernels, SURVEY.md §2.3): the framebuffer rows are sharded
+across devices (embarrassingly parallel, like the reference's 64x64 tiles),
+the scene is replicated, and ICI collectives do what a multi-GPU renderer
+would use NCCL for — `psum` merges ray statistics, and the output framebuffer
+stays row-sharded on device so readback gathers tonemapped sRGB8 tiles only.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from chameleonrt_tpu.engine import path_tracer
+from chameleonrt_tpu.engine.device_scene import FlatScene, SceneMeta
+from chameleonrt_tpu.ops import camera as camera_ops
+
+AXIS = "rows"
+
+
+def make_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    import numpy as np
+
+    return Mesh(np.array(devices), (AXIS,))
+
+
+def make_sharded_render_step(
+    meta: SceneMeta,
+    trace_closest,
+    trace_any,
+    mesh: Mesh,
+    fb_width: int,
+    fb_height: int,
+    spp: int,
+):
+    """Build a jitted SPMD render step: (flat, view, accum, frame_id) ->
+    (accum', rays). `accum` is row-sharded (H, W, 3); the scene is
+    replicated; rays is psum-reduced over ICI."""
+    n_dev = mesh.devices.size
+    assert fb_height % n_dev == 0, (
+        f"fb_height {fb_height} must divide evenly over {n_dev} devices"
+    )
+    shard_h = fb_height // n_dev
+
+    def step_local(flat: FlatScene, view: camera_ops.ViewParams, accum, frame_id):
+        row0 = jax.lax.axis_index(AXIS) * shard_h
+        ys, xs = jnp.mgrid[0:shard_h, 0:fb_width]
+        px = xs.reshape(-1).astype(jnp.uint32)
+        py = (ys.reshape(-1) + row0).astype(jnp.uint32)
+        illum, rays = path_tracer.render_pixels(
+            flat,
+            meta,
+            trace_closest,
+            trace_any,
+            view,
+            frame_id,
+            px,
+            py,
+            fb_width,
+            fb_height,
+            spp,
+        )
+        illum = illum.reshape(shard_h, fb_width, 3)
+        accum = path_tracer.progressive_accum(accum, illum, frame_id)
+        rays = jax.lax.psum(rays, AXIS)
+        return accum, rays
+
+    step = jax.jit(
+        jax.shard_map(
+            step_local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(AXIS, None, None), P()),
+            out_specs=(P(AXIS, None, None), P()),
+        ),
+        donate_argnums=(2,),
+    )
+    return step
+
+
+def replicate_scene(flat: FlatScene, mesh: Mesh) -> FlatScene:
+    """Place the scene replicated on every device of the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), flat)
+
+
+def shard_accum(accum, mesh: Mesh):
+    return jax.device_put(accum, NamedSharding(mesh, P(AXIS, None, None)))

@@ -1,0 +1,41 @@
+"""Cross-backend image comparison — the reference's primary correctness
+strategy (`-validation`, SURVEY.md §4.1): the BVH-accelerated `tpu` backend
+must reproduce the brute-force `reference` backend's image. Because both
+share RNG streams and shading code and differ only in traversal, agreement
+is near bit-exact, far tighter than the reference's Monte-Carlo-noise bound."""
+
+import numpy as np
+import pytest
+
+from chameleonrt_tpu.core import get_backend
+from chameleonrt_tpu.scene.loader import load_scene
+
+
+def render_frames(backend_name, scene, res, n_frames=3):
+    b = get_backend(backend_name)
+    b.initialize(res, res)
+    b.set_scene(scene)
+    cam = scene.cameras[0]
+    d = cam.center - cam.position
+    d = d / np.linalg.norm(d)
+    for i in range(n_frames):
+        b.render(
+            cam.position, d, cam.up, cam.fov_y, i == 0,
+            readback_framebuffer=(i == n_frames - 1),
+        )
+        if i == 0:
+            accum0 = np.asarray(b._accum)
+    return b.img[..., :3].astype(np.float32), accum0
+
+
+@pytest.mark.parametrize("scene_uri", ["proc://cornell", "proc://instances?nx=2&ny=2&subdiv=0"])
+def test_tpu_matches_reference_images(scene_uri):
+    scene = load_scene(scene_uri)
+    img_ref, acc_ref = render_frames("reference", scene, 40)
+    img_tpu, acc_tpu = render_frames("tpu", scene, 40)
+    # Traversal differences can flip coincident-surface ties on a handful of
+    # pixels; require near-exact agreement elsewhere.
+    diff = np.abs(img_ref - img_tpu)
+    frac_off = (diff.max(axis=-1) > 2).mean()
+    assert frac_off < 0.01, f"{frac_off:.4%} pixels differ, max={diff.max()}"
+    np.testing.assert_allclose(acc_ref, acc_tpu, rtol=5e-3, atol=5e-3)
