@@ -1,0 +1,145 @@
+"""ctypes bindings for the native C++ runtime components (native/).
+
+The reference's loaders are native C++ (tinyobjloader et al.); here the hot
+loader path — OBJ geometry scanning + (v,vn,vt)-triple remapping — is a C++
+shared library built by `make -C native`, bound over a plain C ABI. Missing
+or unbuildable library degrades gracefully to the pure-Python loaders
+(identical semantics, tested against each other).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libcrt_native.so")
+
+_lib = None
+_tried = False
+
+
+def _try_build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(_LIB_PATH)
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if necessary) the native library; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH) and not _try_build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.crt_obj_parse.restype = ctypes.c_void_p
+    lib.crt_obj_parse.argtypes = [ctypes.c_char_p]
+    lib.crt_obj_error.restype = ctypes.c_char_p
+    lib.crt_obj_error.argtypes = [ctypes.c_void_p]
+    lib.crt_obj_num_shapes.restype = ctypes.c_int32
+    lib.crt_obj_num_shapes.argtypes = [ctypes.c_void_p]
+    lib.crt_obj_num_mtllibs.restype = ctypes.c_int32
+    lib.crt_obj_num_mtllibs.argtypes = [ctypes.c_void_p]
+    lib.crt_obj_mtllib.restype = ctypes.c_char_p
+    lib.crt_obj_mtllib.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.crt_obj_shape_counts.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.crt_obj_shape_material.restype = ctypes.c_char_p
+    lib.crt_obj_shape_material.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.crt_obj_shape_data.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint32),
+    ]
+    lib.crt_obj_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+class NativeObjShape:
+    def __init__(self, vertices, normals, uvs, indices, material: str, mixed: bool):
+        self.vertices = vertices
+        self.normals = normals
+        self.uvs = uvs
+        self.indices = indices
+        self.material = material
+        self.mixed_materials = mixed
+
+
+def parse_obj_native(path: str) -> Optional[Tuple[List[NativeObjShape], List[str]]]:
+    """Parse OBJ geometry with the native library. Returns (shapes,
+    mtllib names) or None if the native path is unavailable/failed."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    handle = lib.crt_obj_parse(path.encode())
+    if not handle:
+        return None
+    try:
+        err = lib.crt_obj_error(handle)
+        if err:
+            raise IOError(err.decode())
+        shapes = []
+        for si in range(lib.crt_obj_num_shapes(handle)):
+            nv = ctypes.c_int64()
+            nt = ctypes.c_int64()
+            hn = ctypes.c_int32()
+            hu = ctypes.c_int32()
+            mm = ctypes.c_int32()
+            lib.crt_obj_shape_counts(
+                handle, si, ctypes.byref(nv), ctypes.byref(nt), ctypes.byref(hn),
+                ctypes.byref(hu), ctypes.byref(mm),
+            )
+            verts = np.empty((nv.value, 3), np.float32)
+            norms = np.empty((nv.value, 3), np.float32) if hn.value else None
+            uvs = np.empty((nv.value, 2), np.float32) if hu.value else None
+            tris = np.empty((nt.value, 3), np.uint32)
+            lib.crt_obj_shape_data(
+                handle,
+                si,
+                verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                norms.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+                if norms is not None
+                else None,
+                uvs.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+                if uvs is not None
+                else None,
+                tris.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            )
+            mat = lib.crt_obj_shape_material(handle, si).decode()
+            shapes.append(
+                NativeObjShape(verts, norms, uvs, tris, mat, bool(mm.value))
+            )
+        mtllibs = [
+            lib.crt_obj_mtllib(handle, i).decode()
+            for i in range(lib.crt_obj_num_mtllibs(handle))
+        ]
+        return shapes, mtllibs
+    finally:
+        lib.crt_obj_free(handle)

@@ -82,7 +82,100 @@ def _resolve_index(idx: int, count: int) -> int:
     return idx - 1 if idx > 0 else count + idx
 
 
-def load_obj(path: str, material_mode: MaterialMode = MaterialMode.DEFAULT) -> Scene:
+def load_obj(
+    path: str,
+    material_mode: MaterialMode = MaterialMode.DEFAULT,
+    use_native: bool = True,
+) -> Scene:
+    """Load an OBJ scene. Uses the native C++ parser
+    (chameleonrt_tpu.native) when available, falling back to the pure-Python
+    scanner below; both produce identical scenes (tested against each
+    other)."""
+    if use_native:
+        try:
+            from chameleonrt_tpu import native
+
+            parsed = native.parse_obj_native(path)
+        except Exception as e:  # noqa: BLE001
+            print(f"Native OBJ parser failed ({e}); using Python fallback")
+            parsed = None
+        if parsed is not None:
+            return _assemble_native(path, parsed, material_mode)
+    return _load_obj_python(path, material_mode)
+
+
+def _assemble_native(path, parsed, material_mode: MaterialMode) -> Scene:
+    shapes, mtllibs = parsed
+    base_dir = os.path.dirname(os.path.abspath(path))
+    scene = Scene(material_mode=material_mode)
+
+    mtl_materials: List[Tuple[str, dict]] = []
+    mtl_name_to_id: Dict[str, int] = {}
+    for mtl_file in mtllibs:
+        for name, props in _parse_mtl(os.path.join(base_dir, mtl_file)):
+            if name not in mtl_name_to_id:
+                mtl_name_to_id[name] = len(mtl_materials)
+                mtl_materials.append((name, props))
+
+    mesh = Mesh()
+    material_ids: List[int] = []
+    for s in shapes:
+        if len(s.indices) == 0:
+            continue
+        mesh.geometries.append(
+            Geometry(
+                vertices=s.vertices,
+                indices=s.indices,
+                normals=s.normals,
+                uvs=s.uvs,
+            )
+        )
+        if material_mode == MaterialMode.DEFAULT:
+            material_ids.append(mtl_name_to_id.get(s.material, -1))
+            if s.mixed_materials:
+                print(
+                    "Warning: per-face material IDs are not supported, materials "
+                    "may look wrong. Please reexport your mesh with each material "
+                    "group as an OBJ group"
+                )
+        else:
+            material_ids.append(-1)
+
+    scene.meshes = [mesh]
+    scene.parameterized_meshes = [ParameterizedMesh(0, material_ids)]
+    scene.instances = [Instance(np.eye(4, dtype=np.float32), 0)]
+    _assemble_materials(scene, mtl_materials, base_dir, material_mode)
+    scene.validate_materials()
+    print("Generating light for OBJ scene")
+    scene.lights = [default_obj_light()]
+    return scene
+
+
+def _assemble_materials(scene, mtl_materials, base_dir, material_mode):
+    """MTL -> Disney materials + diffuse texture handles
+    (reference util/scene.cpp:188-214)."""
+    if material_mode != MaterialMode.DEFAULT:
+        return
+    texture_ids: Dict[str, int] = {}
+    for _name, props in mtl_materials:
+        mat = _mtl_to_disney(props)
+        tex_name = props.get("map_Kd")
+        if tex_name:
+            if tex_name not in texture_ids:
+                texture_ids[tex_name] = len(scene.textures)
+                tex_path = os.path.join(base_dir, tex_name.replace("\\", "/"))
+                scene.textures.append(
+                    Image(
+                        name=tex_name,
+                        data=read_image_or_placeholder(tex_path),
+                        color_space=ColorSpace.SRGB,
+                    )
+                )
+            mat.set_color_texture(texture_ids[tex_name])
+        scene.materials.append(mat)
+
+
+def _load_obj_python(path: str, material_mode: MaterialMode) -> Scene:
     scene = Scene(material_mode=material_mode)
     base_dir = os.path.dirname(os.path.abspath(path))
 
@@ -215,25 +308,7 @@ def load_obj(path: str, material_mode: MaterialMode = MaterialMode.DEFAULT) -> S
     scene.parameterized_meshes = [ParameterizedMesh(0, material_ids)]
     scene.instances = [Instance(np.eye(4, dtype=np.float32), 0)]
 
-    if material_mode == MaterialMode.DEFAULT:
-        texture_ids: Dict[str, int] = {}
-        for _name, props in mtl_materials:
-            mat = _mtl_to_disney(props)
-            tex_name = props.get("map_Kd")
-            if tex_name:
-                if tex_name not in texture_ids:
-                    texture_ids[tex_name] = len(scene.textures)
-                    tex_path = os.path.join(base_dir, tex_name.replace("\\", "/"))
-                    scene.textures.append(
-                        Image(
-                            name=tex_name,
-                            data=read_image_or_placeholder(tex_path),
-                            color_space=ColorSpace.SRGB,
-                        )
-                    )
-                mat.set_color_texture(texture_ids[tex_name])
-            scene.materials.append(mat)
-
+    _assemble_materials(scene, mtl_materials, base_dir, material_mode)
     scene.validate_materials()
 
     # OBJ has no lights: generate one (reference util/scene.cpp:218-227)
