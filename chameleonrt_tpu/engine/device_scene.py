@@ -65,6 +65,10 @@ class SceneMeta:
 
 
 def build_device_scene(scene: Scene) -> Tuple[FlatScene, SceneMeta]:
+    if not scene.meshes or scene.total_tris() == 0 or not scene.instances:
+        raise ValueError(
+            "scene has no renderable geometry (no meshes/instances/triangles)"
+        )
     scene.validate_materials()
 
     v0s, e1s, e2s = [], [], []

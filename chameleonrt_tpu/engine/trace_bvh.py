@@ -1,56 +1,57 @@
-"""BVH-accelerated scene traversal: per-mesh BLAS + instance loop.
+"""BVH-accelerated scene traversal: per-mesh packed BLAS + instance loop.
 
 The traversal layer of the flagship TPU backend (SURVEY.md §7 steps 3-4):
-each mesh's triangle range gets an on-device LBVH (BLAS); rays are
-transformed into each instance's object space and traverse that BLAS with the
-lockstep wavefront kernel in ops/traverse. Closest hits across instances
-merge by t (the object-space parameterization preserves world t).
+each mesh's triangle range gets an on-device LBVH (BLAS) fused into the
+gather-optimized PackedBvh layout; rays are transformed into each instance's
+object space and traverse that BLAS with the lockstep wavefront kernel in
+ops/traverse. Closest hits across instances merge by t (the object-space
+parameterization preserves world t).
 
 For the common single-instance case (e.g. every OBJ scene,
-reference util/scene.cpp:182-186) the loop collapses to one BLAS traversal
-with no transform overhead. A BVH TLAS over instance world AABBs is the
-planned upgrade for scenes with many instances.
+reference util/scene.cpp:182-186) the loop collapses to one BLAS traversal.
+A BVH TLAS over instance world AABBs is the planned upgrade for scenes with
+many instances.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
+import jax
 import jax.numpy as jnp
-import numpy as np
 
 from chameleonrt_tpu.engine.device_scene import FlatScene, SceneMeta
 from chameleonrt_tpu.ops.intersect import Hit, T_MAX
-from chameleonrt_tpu.ops.lbvh import Bvh, build_bvh, triangle_aabbs
+from chameleonrt_tpu.ops.lbvh import PackedBvh, build_bvh, pack_bvh, triangle_aabbs
 from chameleonrt_tpu.ops.math import EPSILON, transform_point, transform_vector
-from chameleonrt_tpu.ops.traverse import traverse_any, traverse_closest
+from chameleonrt_tpu.ops.traverse import traverse_any_blocked, traverse_closest_blocked
 
 
-def build_blas_set(flat: FlatScene, meta: SceneMeta) -> Tuple[Bvh, ...]:
-    """Build one LBVH per mesh over its triangle range (the set_scene
+def build_blas_set(flat: FlatScene, meta: SceneMeta) -> Tuple[PackedBvh, ...]:
+    """Build one packed LBVH per mesh over its triangle range (the set_scene
     BLAS-build phase, reference render_optix.cpp:134-172, minus vendor
-    APIs). Returned prim ids are LOCAL to the mesh range."""
-    import jax
+    APIs). Leaf prim ids are LOCAL to the mesh range."""
+
+    @jax.jit
+    def build(v0, e1, e2):
+        tmin, tmax = triangle_aabbs(v0, e1, e2)
+        bvh = build_bvh(tmin, tmax)
+        return pack_bvh(bvh, v0, e1, e2)
 
     blas = []
-    build = jax.jit(build_bvh)
     for start, count in meta.mesh_tri_ranges:
         v0 = flat.tri_v0[start : start + count]
         e1 = flat.tri_e1[start : start + count]
         e2 = flat.tri_e2[start : start + count]
-        tmin, tmax = triangle_aabbs(v0, e1, e2)
-        blas.append(jax.block_until_ready(build(tmin, tmax)))
+        blas.append(jax.block_until_ready(build(v0, e1, e2)))
     return tuple(blas)
 
 
-def make_trace_fns(meta: SceneMeta, blas_set: Tuple[Bvh, ...]):
+def make_trace_fns(meta: SceneMeta, blas_set: Tuple[PackedBvh, ...]):
     """(trace_closest, trace_any) using per-mesh BLAS traversal with a
     statically unrolled instance loop."""
 
     def _object_rays(flat: FlatScene, inst_id: int, orig, dir):
-        if meta.num_instances == 1:
-            # identity fast path is common; still apply transform if not eye
-            pass
         inv = flat.inst_inv[inst_id]
         return (
             transform_point(inv[None], orig),
@@ -63,13 +64,9 @@ def make_trace_fns(meta: SceneMeta, blas_set: Tuple[Bvh, ...]):
             start, count = meta.mesh_tri_ranges[mesh_id]
             if count == 0:
                 continue
-            bvh = blas_set[mesh_id]
             o, d = _object_rays(flat, inst_id, orig, dir)
-            t, prim, u, v = traverse_closest(
-                bvh,
-                flat.tri_v0[start : start + count],
-                flat.tri_e1[start : start + count],
-                flat.tri_e2[start : start + count],
+            t, prim, u, v = traverse_closest_blocked(
+                blas_set[mesh_id],
                 o,
                 d,
                 jnp.broadcast_to(jnp.float32(t_min), o.shape[:1]),
@@ -99,13 +96,9 @@ def make_trace_fns(meta: SceneMeta, blas_set: Tuple[Bvh, ...]):
             start, count = meta.mesh_tri_ranges[mesh_id]
             if count == 0:
                 continue
-            bvh = blas_set[mesh_id]
             o, d = _object_rays(flat, inst_id, orig, dir)
-            occluded = occluded | traverse_any(
-                bvh,
-                flat.tri_v0[start : start + count],
-                flat.tri_e1[start : start + count],
-                flat.tri_e2[start : start + count],
+            occluded = occluded | traverse_any_blocked(
+                blas_set[mesh_id],
                 o,
                 d,
                 jnp.broadcast_to(jnp.float32(EPSILON), o.shape[:1]),

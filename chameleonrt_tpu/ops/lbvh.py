@@ -45,6 +45,86 @@ class Bvh(NamedTuple):
         return (self.node_left.shape[0] + 1) // 2
 
 
+class PackedBvh(NamedTuple):
+    """Gather-optimized BVH layout for the TPU traversal hot loop.
+
+    TPU HBM gathers dominate traversal cost, so each traversal step must be
+    a single wide row-gather:
+
+    - ``nodes``: (n_internal, 16) float32 — one row per internal node holding
+      BOTH children's AABBs plus child indices:
+      [lmin xyz, lmax xyz, rmin xyz, rmax xyz, left, right, pad, pad]
+      (child indices bitcast int32<->float32 in the last lanes). One 64-byte
+      row gather yields everything an internal step needs.
+    - ``leaf_tris``: (n_leaves, LEAF_SIZE, 9) float32 — each leaf's triangles
+      (v0, e1, e2) stored contiguously so the leaf step is one row gather
+      followed by a rectangular LEAF_SIZE-wide Möller–Trumbore block.
+    - ``leaf_prim``: (n_leaves, LEAF_SIZE) int32 — original primitive ids
+      (-1 padding), gathered only to report hits.
+    """
+
+    nodes: jnp.ndarray
+    leaf_tris: jnp.ndarray
+    leaf_prim: jnp.ndarray
+
+    @property
+    def num_leaves(self) -> int:
+        return self.leaf_prim.shape[0]
+
+    @property
+    def leaf_size(self) -> int:
+        return self.leaf_prim.shape[1]
+
+
+def pack_bvh(bvh: Bvh, tri_v0, tri_e1, tri_e2) -> PackedBvh:
+    """Fuse a built LBVH + its triangle range into the gather-optimized
+    layout. Child pointers are re-encoded: value >= 0 is an internal node
+    row; value < 0 encodes leaf id as -(leaf+1)."""
+    n_leaves = bvh.num_leaves
+    leaf_size = bvh.prim_order.shape[0] // n_leaves
+    n_internal = max(n_leaves - 1, 1)
+    leaf_base = n_leaves - 1
+
+    def encode_child(c):
+        # node index >= leaf_base is leaf (leaf id = c - leaf_base)
+        return jnp.where(c >= leaf_base, -(c - leaf_base) - 1, c)
+
+    if n_leaves == 1:
+        nodes = jnp.zeros((1, 16), jnp.float32)
+        nodes = nodes.at[0, 0:3].set(bvh.node_min[0])
+        nodes = nodes.at[0, 3:6].set(bvh.node_max[0])
+        nodes = nodes.at[0, 6:9].set(jnp.full(3, jnp.inf, jnp.float32))
+        nodes = nodes.at[0, 9:12].set(jnp.full(3, -jnp.inf, jnp.float32))
+        kids = jnp.array([-1, -1], jnp.int32)  # both point at leaf 0... right empty
+        nodes = nodes.at[0, 12:14].set(
+            jax.lax.bitcast_convert_type(kids, jnp.float32)
+        )
+    else:
+        left = bvh.node_left[:n_internal]
+        right = bvh.node_right[:n_internal]
+        nodes = jnp.concatenate(
+            [
+                bvh.node_min[left],
+                bvh.node_max[left],
+                bvh.node_min[right],
+                bvh.node_max[right],
+                jax.lax.bitcast_convert_type(encode_child(left), jnp.float32)[:, None],
+                jax.lax.bitcast_convert_type(encode_child(right), jnp.float32)[:, None],
+                jnp.zeros((n_internal, 2), jnp.float32),
+            ],
+            axis=1,
+        )
+
+    prim = bvh.prim_order.reshape(n_leaves, leaf_size)
+    safe = jnp.maximum(prim, 0)
+    leaf_tris = jnp.concatenate(
+        [tri_v0[safe], tri_e1[safe], tri_e2[safe]], axis=-1
+    )  # (n_leaves, LEAF, 9)
+    # zero-out padding slots -> degenerate triangles never hit
+    leaf_tris = jnp.where((prim >= 0)[..., None], leaf_tris, 0.0)
+    return PackedBvh(nodes=nodes, leaf_tris=leaf_tris, leaf_prim=prim)
+
+
 def _expand_bits_10(v):
     """Spread the low 10 bits of v so there are 2 zero bits between each
     (classic Morton bit-interleave)."""

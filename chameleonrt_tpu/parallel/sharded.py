@@ -78,6 +78,11 @@ def make_sharded_render_step(
             mesh=mesh,
             in_specs=(P(), P(), P(AXIS, None, None), P()),
             out_specs=(P(AXIS, None, None), P()),
+            # traversal while_loop carries start from device-invariant
+            # constants (fresh stacks) and become row-varying inside the
+            # loop; the strict varying-manual-axes checker rejects that
+            # pattern, so disable it (semantics are unaffected).
+            check_vma=False,
         ),
         donate_argnums=(2,),
     )

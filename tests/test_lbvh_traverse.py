@@ -9,6 +9,7 @@ import pytest
 
 from chameleonrt_tpu.ops import lbvh
 from chameleonrt_tpu.ops.intersect import brute_force_any, brute_force_closest
+from chameleonrt_tpu.ops.lbvh import pack_bvh
 from chameleonrt_tpu.ops.traverse import traverse_any, traverse_closest
 from chameleonrt_tpu.scene.procedural import random_triangles
 
@@ -100,9 +101,8 @@ class TestTraversalAgreesWithBruteForce:
         t_min = jnp.zeros((n_rays,), jnp.float32)
         active = jnp.ones((n_rays,), bool)
         t_b, tri_b, u_b, v_b = brute_force_closest(orig, dir, v0, e1, e2)
-        t_t, tri_t, u_t, v_t = traverse_closest(
-            bvh, v0, e1, e2, orig, dir, t_min, active
-        )
+        pbvh = pack_bvh(bvh, v0, e1, e2)
+        t_t, tri_t, u_t, v_t = traverse_closest(pbvh, orig, dir, t_min, active)
         t_b, tri_b, t_t, tri_t = map(np.asarray, (t_b, tri_b, t_t, tri_t))
         hit_b = tri_b >= 0
         hit_t = np.asarray(tri_t) >= 0
@@ -125,7 +125,8 @@ class TestTraversalAgreesWithBruteForce:
         )
         occ_t = np.asarray(
             traverse_any(
-                bvh, v0, e1, e2, orig, dir, jnp.full((512,), 1e-4, jnp.float32), t_max, mask
+                pack_bvh(bvh, v0, e1, e2), orig, dir,
+                jnp.full((512,), 1e-4, jnp.float32), t_max, mask,
             )
         )
         np.testing.assert_array_equal(occ_b, occ_t)
@@ -137,7 +138,7 @@ class TestTraversalAgreesWithBruteForce:
         orig, dir = make_rays(64)
         active = jnp.asarray(np.arange(64) % 2 == 0)
         t, tri, u, v = traverse_closest(
-            bvh, v0, e1, e2, orig, dir, jnp.zeros((64,), jnp.float32), active
+            pack_bvh(bvh, v0, e1, e2), orig, dir, jnp.zeros((64,), jnp.float32), active
         )
         tri = np.asarray(tri)
         assert (tri[1::2] == -1).all()
@@ -153,7 +154,7 @@ class TestTraversalAgreesWithBruteForce:
         orig = jnp.asarray([[0.0, 0.0, -1e-6]], jnp.float32)
         dir = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
         t, tri, _, _ = traverse_closest(
-            bvh, v0, e1, e2, orig, dir, jnp.asarray([1e-4], jnp.float32),
+            pack_bvh(bvh, v0, e1, e2), orig, dir, jnp.asarray([1e-4], jnp.float32),
             jnp.ones((1,), bool),
         )
         assert int(tri[0]) == -1
