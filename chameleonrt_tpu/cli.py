@@ -39,6 +39,9 @@ Options:
 \t-benchmark-frames <n>  Render n frames, print stats, save final image, exit
 \t-frames <n>            Number of progressive frames to render (default 16)
 \t-o <file.png>          Output image path (default chameleonrt_tpu_out.png)
+\t-interactive           Read viewer commands from stdin (rotate/pan/zoom/
+\t                       frame/show/save/p/q) with an arcball camera and an
+\t                       ANSI terminal preview
 """
 
 
@@ -59,6 +62,7 @@ def parse_args(argv: List[str]):
         "frames": 16,
         "out": "chameleonrt_tpu_out.png",
         "got_camera_args": False,
+        "interactive": False,
     }
     pos: List[str] = []
     i = 0
@@ -107,6 +111,9 @@ def parse_args(argv: List[str]):
         elif a == "-o":
             opts["out"] = argv[i + 1]
             i += 2
+        elif a == "-interactive":
+            opts["interactive"] = True
+            i += 1
         elif not a.startswith("-"):
             pos.append(a)
             i += 1
@@ -167,6 +174,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     dir = center - eye
     dir = dir / np.linalg.norm(dir)
 
+    if opts["interactive"]:
+        return run_interactive(backend, eye, center, up, fov, opts)
+
     n_frames = opts["benchmark_frames"] or opts["frames"]
     render_times = []
     rays_per_sec = []
@@ -199,6 +209,99 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"Avg rays/sec: {pretty_print_count(float(np.mean(steady_rays)))}")
     write_image(opts["out"], backend.img)
     print(f"Saved {opts['out']}")
+    return 0
+
+
+def run_interactive(backend, eye, center, up, fov, opts) -> int:
+    """Stdin-driven viewer loop: the headless counterpart of the reference's
+    SDL event loop + arcball (main.cpp:231-380, util/arcball_camera.h).
+
+    Commands:
+      rotate x0 y0 x1 y1   arcball rotate (normalized-device coords)
+      pan dx dy            pan the center of interest
+      zoom amount          dolly toward/away from the center
+      frame [n]            render n progressive frames (default 1)
+      show                 ANSI terminal preview of the framebuffer
+      save <path.png>      write the framebuffer (reference 's' key)
+      p                    print camera eye/center/up (reference 'p' key)
+      stats                print last RenderStats
+      q                    quit (saves -o image first)
+    """
+    from chameleonrt_tpu.display import AnsiDisplay
+    from chameleonrt_tpu.utils.arcball import ArcballCamera
+
+    camera = ArcballCamera(eye, center, up)
+    ansi = AnsiDisplay()
+    camera_changed = True
+    last_stats = None
+
+    def render_frames(n):
+        nonlocal camera_changed, last_stats
+        e = camera.eye
+        d = camera.dir
+        u = camera.up
+        for k in range(n):
+            last_stats = backend.render(
+                e, d, u, fov, camera_changed and k == 0,
+                readback_framebuffer=(k == n - 1),
+            )
+            if camera_changed and k == 0:
+                camera_changed = False
+
+    print("interactive mode; type 'help' for commands", flush=True)
+    for line in sys.stdin:
+        parts = line.split()
+        if not parts:
+            continue
+        cmd, args = parts[0], parts[1:]
+        try:
+            if cmd == "q":
+                break
+            elif cmd == "help":
+                print(run_interactive.__doc__)
+            elif cmd == "rotate":
+                x0, y0, x1, y1 = map(float, args)
+                camera.rotate((x0, y0), (x1, y1))
+                camera_changed = True
+            elif cmd == "pan":
+                camera.pan(tuple(map(float, args)))
+                camera_changed = True
+            elif cmd == "zoom":
+                camera.zoom(float(args[0]))
+                camera_changed = True
+            elif cmd == "frame":
+                render_frames(int(args[0]) if args else 1)
+            elif cmd == "show":
+                if backend.frame_id == 0:
+                    render_frames(1)
+                ansi.display(backend)
+            elif cmd == "save":
+                write_image(args[0], backend.img)
+                print(f"saved {args[0]}")
+            elif cmd == "p":
+                e, c, u = camera.eye, camera.center, camera.up
+                print(
+                    f"-eye {e[0]:g} {e[1]:g} {e[2]:g} "
+                    f"-center {c[0]:g} {c[1]:g} {c[2]:g} "
+                    f"-up {u[0]:g} {u[1]:g} {u[2]:g} -fov {fov:g}"
+                )
+            elif cmd == "stats":
+                if last_stats:
+                    print(
+                        f"{last_stats.render_time:.2f} ms/frame, "
+                        f"{pretty_print_count(last_stats.rays_per_second)}ray/s, "
+                        f"frame_id={backend.frame_id}"
+                    )
+                else:
+                    print("no frame rendered yet")
+            else:
+                print(f"unknown command '{cmd}' (try 'help')")
+        except Exception as e:  # noqa: BLE001
+            print(f"error: {e}")
+        print("> ", end="", flush=True)
+    if backend.frame_id > 0:
+        write_image(opts["out"], backend.img)
+        print(f"Saved {opts['out']}")
     return 0
 
 
