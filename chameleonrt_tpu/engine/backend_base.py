@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from chameleonrt_tpu.utils import jaxcache  # noqa: F401  (enables XLA cache)
+
 from chameleonrt_tpu.core.backend import RenderBackend, RenderStats
 from chameleonrt_tpu.engine import path_tracer
 from chameleonrt_tpu.engine.device_scene import FlatScene, SceneMeta, build_device_scene

@@ -54,26 +54,32 @@ class PackedBvh(NamedTuple):
     - ``nodes``: (n_internal, 16) float32 — one row per internal node holding
       BOTH children's AABBs plus child indices:
       [lmin xyz, lmax xyz, rmin xyz, rmax xyz, left, right, pad, pad]
-      (child indices bitcast int32<->float32 in the last lanes). One 64-byte
-      row gather yields everything an internal step needs.
-    - ``leaf_tris``: (n_leaves, LEAF_SIZE, 9) float32 — each leaf's triangles
-      (v0, e1, e2) stored contiguously so the leaf step is one row gather
-      followed by a rectangular LEAF_SIZE-wide Möller–Trumbore block.
-    - ``leaf_prim``: (n_leaves, LEAF_SIZE) int32 — original primitive ids
-      (-1 padding), gathered only to report hits.
+      (child indices bitcast int32<->float32). One 64-byte row gather yields
+      everything an internal step needs. (A width-2 component-paired variant
+      with reduction-based child selection faults the v5e/axon compiler —
+      keep the scalar-column form.)
+    - ``leaf_rows``: (n_leaves, 10*LEAF_SIZE) float32 — each leaf's triangles
+      flattened into ONE 2D row in COMPONENT-MAJOR order: component c of all
+      LEAF_SIZE slots occupies the contiguous columns [c*L, (c+1)*L), with
+      components ordered [v0x v0y v0z e1x e1y e1z e2x e2y e2z prim(bitcast)].
+      The leaf step is one 2D row gather + 10 contiguous (R, L) block slices
+      + Möller–Trumbore directly in the (R, L) domain with reduction-based
+      closest-slot selection. Measured on v5e: width-1 column extracts of a
+      gathered row cost ~30us each (relayout), while contiguous (R, L)
+      block slices and minor-dim reductions are free — this layout makes the
+      leaf step cost equal to its gather (8.5x over the scalarized form).
     """
 
     nodes: jnp.ndarray
-    leaf_tris: jnp.ndarray
-    leaf_prim: jnp.ndarray
+    leaf_rows: jnp.ndarray
 
     @property
     def num_leaves(self) -> int:
-        return self.leaf_prim.shape[0]
+        return self.leaf_rows.shape[0]
 
     @property
     def leaf_size(self) -> int:
-        return self.leaf_prim.shape[1]
+        return self.leaf_rows.shape[1] // 10
 
 
 def pack_bvh(bvh: Bvh, tri_v0, tri_e1, tri_e2) -> PackedBvh:
@@ -95,7 +101,7 @@ def pack_bvh(bvh: Bvh, tri_v0, tri_e1, tri_e2) -> PackedBvh:
         nodes = nodes.at[0, 3:6].set(bvh.node_max[0])
         nodes = nodes.at[0, 6:9].set(jnp.full(3, jnp.inf, jnp.float32))
         nodes = nodes.at[0, 9:12].set(jnp.full(3, -jnp.inf, jnp.float32))
-        kids = jnp.array([-1, -1], jnp.int32)  # both point at leaf 0... right empty
+        kids = jnp.array([-1, -1], jnp.int32)  # left -> leaf 0; right empty box
         nodes = nodes.at[0, 12:14].set(
             jax.lax.bitcast_convert_type(kids, jnp.float32)
         )
@@ -117,12 +123,17 @@ def pack_bvh(bvh: Bvh, tri_v0, tri_e1, tri_e2) -> PackedBvh:
 
     prim = bvh.prim_order.reshape(n_leaves, leaf_size)
     safe = jnp.maximum(prim, 0)
-    leaf_tris = jnp.concatenate(
+    tris = jnp.concatenate(
         [tri_v0[safe], tri_e1[safe], tri_e2[safe]], axis=-1
     )  # (n_leaves, LEAF, 9)
     # zero-out padding slots -> degenerate triangles never hit
-    leaf_tris = jnp.where((prim >= 0)[..., None], leaf_tris, 0.0)
-    return PackedBvh(nodes=nodes, leaf_tris=leaf_tris, leaf_prim=prim)
+    tris = jnp.where((prim >= 0)[..., None], tris, 0.0)
+    rows = jnp.concatenate(
+        [tris, jax.lax.bitcast_convert_type(prim, jnp.float32)[..., None]], axis=-1
+    )  # (n_leaves, LEAF, 10) slot-major
+    # -> component-major: (n_leaves, 10, LEAF) -> flat rows
+    leaf_rows = rows.transpose(0, 2, 1).reshape(n_leaves, 10 * leaf_size)
+    return PackedBvh(nodes=nodes, leaf_rows=leaf_rows)
 
 
 def _expand_bits_10(v):

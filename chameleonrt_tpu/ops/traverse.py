@@ -35,7 +35,7 @@ _DONE = jnp.int32(0x7FFFFFFF)  # sentinel current-node value: lane finished
 # traversed at once; mapping over blocks bounds each block's cost by its own
 # worst lane (long-tailed divergence makes this a ~10x lever) and keeps the
 # loop carry (stack, best-hit state) small enough to live in VMEM.
-DEFAULT_BLOCK = 8192
+DEFAULT_BLOCK = 65536
 
 
 def _map_blocks(fn, args, R: int, block: int):
@@ -72,34 +72,117 @@ def _slab_test(orig, inv_dir, t_min, t_max, box_min, box_max):
     return entry <= exit_, entry
 
 
+_MT_EPS = 1e-9
+
+
 def _leaf_step(pbvh: PackedBvh, leaf_id, orig, dir, t_min, t_max):
-    """Rectangular leaf intersection from the packed leaf rows.
-    Returns (t, prim, u, v, anyhit): t=T_MAX / prim=-1 on miss."""
-    rows = pbvh.leaf_tris[leaf_id]  # (R, L, 9)
-    prim = pbvh.leaf_prim[leaf_id]  # (R, L)
-    v0 = rows[..., 0:3]
-    e1 = rows[..., 3:6]
-    e2 = rows[..., 6:9]
-    hit, t, u, v = moller_trumbore(
-        orig[:, None, :], dir[:, None, :], v0, e1, e2, t_min[:, None], t_max[:, None]
+    """Leaf intersection: ONE 2D row gather + 10 contiguous (R, L) block
+    slices + Möller–Trumbore in the (R, L) domain + reduction-based
+    closest-slot selection. Returns (t, prim, u, v, anyhit): t=T_MAX /
+    prim=-1 on miss.
+
+    TPU performance rules shaping this code (measured on v5e): width-1
+    column extracts of a gathered row and argmin + fancy-indexing both cost
+    relayouts (~30us and ~1ms respectively per op at R=57K); contiguous
+    block slices, (R, L) elementwise math, and minor-dim reductions are
+    effectively free — the whole step costs its gather."""
+    L = pbvh.leaf_size
+    R = orig.shape[0]
+    rows = pbvh.leaf_rows[leaf_id]  # (R, 10L), component-major
+
+    def g(c):
+        return rows[:, c * L : (c + 1) * L]
+
+    v0x, v0y, v0z = g(0), g(1), g(2)
+    e1x, e1y, e1z = g(3), g(4), g(5)
+    e2x, e2y, e2z = g(6), g(7), g(8)
+    prim = jax.lax.bitcast_convert_type(g(9), jnp.int32)
+
+    ox, oy, oz = orig[:, 0:1], orig[:, 1:2], orig[:, 2:3]
+    dx, dy, dz = dir[:, 0:1], dir[:, 1:2], dir[:, 2:3]
+
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv = 1.0 / jnp.where(jnp.abs(det) < _MT_EPS, 1.0, det)
+    tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv
+    hit = (
+        (jnp.abs(det) >= _MT_EPS)
+        & (prim >= 0)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > t_min[:, None])
+        & (t < t_max[:, None])
     )
-    hit = hit & (prim >= 0)
     t = jnp.where(hit, t, T_MAX)
-    arg = jnp.argmin(t, axis=1)
-    rows_i = jnp.arange(orig.shape[0])
-    best_t = t[rows_i, arg]
-    best_prim = jnp.where(best_t < T_MAX, prim[rows_i, arg], -1)
-    return best_t, best_prim, u[rows_i, arg], v[rows_i, arg], jnp.any(hit, axis=1)
+    best_t = jnp.min(t, axis=1)
+    # slot selection purely via reductions (ties resolve to the highest slot)
+    iota = jnp.arange(L, dtype=jnp.int32)[None, :]
+    is_best = hit & (t == best_t[:, None])
+    slot = jnp.max(jnp.where(is_best, iota, -1), axis=1)
+    sel = iota == slot[:, None]
+    best_prim = jnp.max(jnp.where(sel, prim, -1), axis=1)
+    best_u = jnp.sum(jnp.where(sel, u, 0.0), axis=1)
+    best_v = jnp.sum(jnp.where(sel, v, 0.0), axis=1)
+    anyhit = jnp.any(hit, axis=1)
+    return best_t, best_prim, best_u, best_v, anyhit
 
 
-def _decode(row):
-    """Split a packed node row into child AABBs + pointers."""
-    lmin = row[..., 0:3]
-    lmax = row[..., 3:6]
-    rmin = row[..., 6:9]
-    rmax = row[..., 9:12]
-    kids = jax.lax.bitcast_convert_type(row[..., 12:14], jnp.int32)
-    return lmin, lmax, rmin, rmax, kids[..., 0], kids[..., 1]
+def _node_step(pbvh: PackedBvh, cur, orig, inv_dir, t_min, t_max):
+    """Internal-node step: one (R, 16) row gather + scalar-column slab tests
+    of both children. (A width-2 component-paired variant with
+    reduction-based selection faults the v5e/axon compiler; the scalar form
+    measures fine because the node row is narrow.)
+
+    Returns (hit_n, near_kid, kid_sum): number of child hits (0/1/2), the
+    nearer hit child pointer, and the sum of hit child pointers (== the only
+    hit child when hit_n == 1; near + far when hit_n == 2, so
+    far = kid_sum - near_kid)."""
+    row = pbvh.nodes[jnp.clip(cur, 0, pbvh.nodes.shape[0] - 1)]
+    ox, oy, oz = orig[:, 0], orig[:, 1], orig[:, 2]
+    ix, iy, iz = inv_dir[:, 0], inv_dir[:, 1], inv_dir[:, 2]
+
+    def slab(c):
+        tx0 = (row[:, c + 0] - ox) * ix
+        tx1 = (row[:, c + 3] - ox) * ix
+        ty0 = (row[:, c + 1] - oy) * iy
+        ty1 = (row[:, c + 4] - oy) * iy
+        tz0 = (row[:, c + 2] - oz) * iz
+        tz1 = (row[:, c + 5] - oz) * iz
+        txn = jnp.minimum(tx0, tx1)
+        txf = jnp.maximum(tx0, tx1)
+        tyn = jnp.minimum(ty0, ty1)
+        tyf = jnp.maximum(ty0, ty1)
+        tzn = jnp.minimum(tz0, tz1)
+        tzf = jnp.maximum(tz0, tz1)
+        txn = jnp.where(jnp.isnan(txn), -jnp.inf, txn)
+        tyn = jnp.where(jnp.isnan(tyn), -jnp.inf, tyn)
+        tzn = jnp.where(jnp.isnan(tzn), -jnp.inf, tzn)
+        txf = jnp.where(jnp.isnan(txf), jnp.inf, txf)
+        tyf = jnp.where(jnp.isnan(tyf), jnp.inf, tyf)
+        tzf = jnp.where(jnp.isnan(tzf), jnp.inf, tzf)
+        entry = jnp.maximum(jnp.maximum(txn, tyn), jnp.maximum(tzn, t_min))
+        exit_ = jnp.minimum(jnp.minimum(txf, tyf), jnp.minimum(tzf, t_max))
+        return entry <= exit_, entry
+
+    lhit, lt = slab(0)
+    rhit, rt = slab(6)
+    left = jax.lax.bitcast_convert_type(row[:, 12], jnp.int32)
+    right = jax.lax.bitcast_convert_type(row[:, 13], jnp.int32)
+
+    hit_n = lhit.astype(jnp.int32) + rhit.astype(jnp.int32)
+    kid_sum = jnp.where(lhit, left, 0) + jnp.where(rhit, right, 0)
+    near_is_left = jnp.where(lhit & rhit, lt <= rt, lhit)
+    near_kid = jnp.where(near_is_left, left, right)
+    return hit_n, near_kid, kid_sum
 
 
 def traverse_closest(pbvh: PackedBvh, orig, dir, t_min, active, t_max=None):
@@ -130,7 +213,6 @@ def traverse_closest(pbvh: PackedBvh, orig, dir, t_min, active, t_max=None):
     stack = jnp.full((R, STACK_DEPTH), _DONE, jnp.int32)
     sp = jnp.zeros((R,), jnp.int32)
     cur = jnp.where(active, 0, _DONE)  # root row 0
-    lane_ids = jnp.arange(R)
     stack_iota = jnp.arange(STACK_DEPTH, dtype=jnp.int32)[None, :]
 
     def cond(state):
@@ -143,20 +225,14 @@ def traverse_closest(pbvh: PackedBvh, orig, dir, t_min, active, t_max=None):
         is_leaf = lane_on & (cur < 0)
         is_int = lane_on & (cur >= 0)
 
-        # ---- internal step: one fused row gather
-        row = pbvh.nodes[jnp.clip(cur, 0, pbvh.nodes.shape[0] - 1)]
-        lmin, lmax, rmin, rmax, left, right = _decode(row)
-        lhit, lt = _slab_test(orig, inv_dir, t_min, best_t, lmin, lmax)
-        rhit, rt = _slab_test(orig, inv_dir, t_min, best_t, rmin, rmax)
-        lhit = lhit & is_int
-        rhit = rhit & is_int
-        both = lhit & rhit
-        near_is_left = lt <= rt
-        near = jnp.where(near_is_left, left, right)
-        far = jnp.where(near_is_left, right, left)
-        one = lhit ^ rhit
-        only = jnp.where(lhit, left, right)
-        next_int = jnp.where(both, near, jnp.where(one, only, _DONE))
+        # ---- internal step: one fused row gather + (R,2) paired slab tests
+        hit_n, near_kid, kid_sum = _node_step(
+            pbvh, cur, orig, inv_dir, t_min, best_t
+        )
+        both = is_int & (hit_n == 2)
+        one = is_int & (hit_n == 1)
+        far = kid_sum - near_kid
+        next_int = jnp.where(both, near_kid, jnp.where(one, kid_sum, _DONE))
         stack = jnp.where(
             both[:, None] & (stack_iota == sp[:, None]), far[:, None], stack
         )
@@ -177,7 +253,10 @@ def traverse_closest(pbvh: PackedBvh, orig, dir, t_min, active, t_max=None):
         want_pop = (is_leaf | (is_int & (next_int == _DONE))) & lane_on
         can_pop = want_pop & (sp > 0)
         sp = jnp.where(can_pop, sp - 1, sp)
-        popped = stack[lane_ids, jnp.maximum(sp, 0)]
+        # pop via masked reduction: per-lane minor-dim gather is ~1000x
+        # slower than a where+min over the stack width on TPU
+        pop_mask = stack_iota == jnp.maximum(sp, 0)[:, None]
+        popped = jnp.min(jnp.where(pop_mask, stack, _DONE), axis=1)
         cur = jnp.where(
             is_int & (next_int != _DONE),
             next_int,
@@ -208,7 +287,6 @@ def traverse_any(pbvh: PackedBvh, orig, dir, t_min, t_max, mask):
     sp = jnp.zeros((R,), jnp.int32)
     cur = jnp.where(mask, 0, _DONE)
     occluded = jnp.zeros((R,), bool)
-    lane_ids = jnp.arange(R)
     stack_iota = jnp.arange(STACK_DEPTH, dtype=jnp.int32)[None, :]
 
     def cond(state):
@@ -221,18 +299,13 @@ def traverse_any(pbvh: PackedBvh, orig, dir, t_min, t_max, mask):
         is_leaf = lane_on & (cur < 0)
         is_int = lane_on & (cur >= 0)
 
-        row = pbvh.nodes[jnp.clip(cur, 0, pbvh.nodes.shape[0] - 1)]
-        lmin, lmax, rmin, rmax, left, right = _decode(row)
-        lhit, _ = _slab_test(orig, inv_dir, t_min, t_max, lmin, lmax)
-        rhit, _ = _slab_test(orig, inv_dir, t_min, t_max, rmin, rmax)
-        lhit = lhit & is_int
-        rhit = rhit & is_int
-        both = lhit & rhit
-        one = lhit ^ rhit
-        only = jnp.where(lhit, left, right)
-        next_int = jnp.where(both, left, jnp.where(one, only, _DONE))
+        hit_n, near_kid, kid_sum = _node_step(pbvh, cur, orig, inv_dir, t_min, t_max)
+        both = is_int & (hit_n == 2)
+        one = is_int & (hit_n == 1)
+        far = kid_sum - near_kid
+        next_int = jnp.where(both, near_kid, jnp.where(one, kid_sum, _DONE))
         stack = jnp.where(
-            both[:, None] & (stack_iota == sp[:, None]), right[:, None], stack
+            both[:, None] & (stack_iota == sp[:, None]), far[:, None], stack
         )
         sp = jnp.where(both, jnp.minimum(sp + 1, STACK_DEPTH - 1), sp)
 
@@ -245,7 +318,10 @@ def traverse_any(pbvh: PackedBvh, orig, dir, t_min, t_max, mask):
         want_pop = (is_leaf | (is_int & (next_int == _DONE))) & lane_on & ~done_lane
         can_pop = want_pop & (sp > 0)
         sp = jnp.where(can_pop, sp - 1, sp)
-        popped = stack[lane_ids, jnp.maximum(sp, 0)]
+        # pop via masked reduction: per-lane minor-dim gather is ~1000x
+        # slower than a where+min over the stack width on TPU
+        pop_mask = stack_iota == jnp.maximum(sp, 0)[:, None]
+        popped = jnp.min(jnp.where(pop_mask, stack, _DONE), axis=1)
         cur = jnp.where(
             done_lane,
             _DONE,
