@@ -39,6 +39,15 @@ class FlatScene(NamedTuple):
     tri_uv1: jnp.ndarray  # (T, 2)
     tri_uv2: jnp.ndarray  # (T, 2)
     tri_geom_slot: jnp.ndarray  # (T,) int32: geometry index within its mesh
+    # Fused per-triangle shading rows (T, 16): ONE row gather per hit yields
+    # everything shading needs (TPU rule: many narrow gathers and 3D gathers
+    # are pathologically slow; single 2D row gathers are fast):
+    # [e1 xyz, e2 xyz, uv0, uv1, uv2 (2 each), geom_slot(bitcast),
+    #  mat_id(bitcast, valid for single-instance scenes), pad, pad]
+    shade_rows: jnp.ndarray
+    # Packed material records (M, 16): the 14 float slots of
+    # MATERIAL_PARAM_NAMES + 2 pad; float slots may carry texture handles.
+    mat_rows: jnp.ndarray
     # Instances
     inst_transform: jnp.ndarray  # (I, 4, 4)
     inst_inv: jnp.ndarray  # (I, 4, 4) world-to-object
@@ -58,6 +67,7 @@ class SceneMeta:
     num_lights: int
     num_tris: int
     num_instances: int
+    has_textures: bool = False
 
     @property
     def single_identity_instance(self) -> bool:
@@ -192,6 +202,24 @@ def build_device_scene(scene: Scene) -> Tuple[FlatScene, SceneMeta]:
     else:
         atlas = TextureAtlas.empty()
 
+    # Fused shading rows (see FlatScene docstring). For single-instance
+    # scenes the per-triangle material id is static and baked into the row.
+    n_tris_pad = max(num_tris, 1)
+    shade_rows = np.zeros((n_tris_pad, 16), np.float32)
+    if num_tris:
+        shade_rows[:num_tris, 0:3] = tri_e1
+        shade_rows[:num_tris, 3:6] = tri_e2
+        shade_rows[:num_tris, 6:8] = tri_uv0
+        shade_rows[:num_tris, 8:10] = tri_uv1
+        shade_rows[:num_tris, 10:12] = tri_uv2
+        shade_rows[:num_tris, 12] = tri_geom_slot.view(np.float32)
+        if n_inst == 1:
+            tri_mat = inst_mat_table[0][tri_geom_slot]
+            shade_rows[:num_tris, 13] = tri_mat.astype(np.int32).view(np.float32)
+
+    mat_rows = np.zeros((n_mat, 16), np.float32)
+    mat_rows[:, :14] = packed
+
     flat = FlatScene(
         tri_v0=jnp.asarray(tri_v0),
         tri_e1=jnp.asarray(tri_e1),
@@ -200,6 +228,8 @@ def build_device_scene(scene: Scene) -> Tuple[FlatScene, SceneMeta]:
         tri_uv1=jnp.asarray(tri_uv1),
         tri_uv2=jnp.asarray(tri_uv2),
         tri_geom_slot=jnp.asarray(tri_geom_slot),
+        shade_rows=jnp.asarray(shade_rows),
+        mat_rows=jnp.asarray(mat_rows),
         inst_transform=jnp.asarray(inst_transform),
         inst_inv=jnp.asarray(inst_inv),
         inst_mat_table=jnp.asarray(inst_mat_table),
@@ -213,28 +243,43 @@ def build_device_scene(scene: Scene) -> Tuple[FlatScene, SceneMeta]:
         num_lights=len(scene.lights),
         num_tris=num_tris,
         num_instances=n_inst,
+        has_textures=bool(scene.textures)
+        and scene.material_mode != MaterialMode.WHITE_DIFFUSE,
     )
     return flat, meta
 
 
-def unpack_material(flat: FlatScene, mat_id, uv) -> MaterialBatch:
+def unpack_material(flat: FlatScene, meta: SceneMeta, mat_id, uv) -> MaterialBatch:
     """Gather the material record per lane and resolve texture handles
-    (reference render_embree.ispc:79-103 unpack_material)."""
-    m = flat.materials
-    mat_id = jnp.clip(mat_id, 0, m.metallic.shape[0] - 1)
-    g = MaterialBatch(*(f[mat_id] for f in m))
+    (reference render_embree.ispc:79-103 unpack_material). One (R, 16) row
+    gather from the packed material table (12 separate 1D field gathers are
+    pathologically slow on TPU); texture decode is skipped entirely for
+    texture-free scenes (static on SceneMeta)."""
+    mat_id = jnp.clip(mat_id, 0, flat.mat_rows.shape[0] - 1)
+    row = flat.mat_rows[mat_id]  # (R, 16)
+    base_color = row[:, 0:3]
+    fields = {
+        name: row[:, 3 + i]
+        for i, name in enumerate(
+            (
+                "metallic",
+                "specular",
+                "roughness",
+                "specular_tint",
+                "anisotropy",
+                "sheen",
+                "sheen_tint",
+                "clearcoat",
+                "clearcoat_gloss",
+                "ior",
+                "specular_transmission",
+            )
+        )
+    }
+    if not meta.has_textures:
+        return MaterialBatch(base_color=base_color, **fields)
     atlas = flat.atlas
     return MaterialBatch(
-        base_color=textured_color_param(atlas, g.base_color, uv),
-        metallic=textured_scalar_param(atlas, g.metallic, uv),
-        specular=textured_scalar_param(atlas, g.specular, uv),
-        roughness=textured_scalar_param(atlas, g.roughness, uv),
-        specular_tint=textured_scalar_param(atlas, g.specular_tint, uv),
-        anisotropy=textured_scalar_param(atlas, g.anisotropy, uv),
-        sheen=textured_scalar_param(atlas, g.sheen, uv),
-        sheen_tint=textured_scalar_param(atlas, g.sheen_tint, uv),
-        clearcoat=textured_scalar_param(atlas, g.clearcoat, uv),
-        clearcoat_gloss=textured_scalar_param(atlas, g.clearcoat_gloss, uv),
-        ior=textured_scalar_param(atlas, g.ior, uv),
-        specular_transmission=textured_scalar_param(atlas, g.specular_transmission, uv),
+        base_color=textured_color_param(atlas, base_color, uv),
+        **{k: textured_scalar_param(atlas, v, uv) for k, v in fields.items()},
     )

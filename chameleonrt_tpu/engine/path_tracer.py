@@ -76,10 +76,17 @@ def _sample_direct_light(
     (reference render_embree.ispc:105-181). Returns (state, illum, rays)."""
     num_lights = meta.num_lights
     state, u_l = rng_ops.lcg_randomf(state)
-    light_id = jnp.minimum(
-        (u_l * num_lights).astype(jnp.int32), num_lights - 1
-    )
-    light = flat.lights.gather(light_id)
+    if num_lights == 1:
+        # common case: skip the per-lane light gather, broadcast light 0
+        R = u_l.shape[0]
+        light = light_ops.LightArrays(
+            *(jnp.broadcast_to(f[0], (R,) + f.shape[1:]) for f in flat.lights)
+        )
+    else:
+        light_id = jnp.minimum(
+            (u_l * num_lights).astype(jnp.int32), num_lights - 1
+        )
+        light = flat.lights.gather(light_id)
 
     # --- Light-sampling branch: always traces a shadow ray (ispc:132-153)
     state, s2 = rng_ops.lcg_randomf2(state)
@@ -159,23 +166,31 @@ def trace_path(
         )
         active = active & hit.hit
 
-        # --- Shading inputs (masked lanes use clamped-safe gathers)
+        # --- Shading inputs: ONE fused (R, 16) row gather per hit
+        # (e1, e2, uv triple, geom slot / baked material id — see
+        # FlatScene.shade_rows; many narrow gathers are slow on TPU)
         tri = jnp.clip(hit.tri, 0, max(meta.num_tris - 1, 0))
-        inst = jnp.clip(hit.inst, 0, meta.num_instances - 1)
         hit_p = orig + hit.t[..., None] * dir
-        e1 = flat.tri_e1[tri]
-        e2 = flat.tri_e2[tri]
+        srow = flat.shade_rows[tri]
+        e1 = srow[:, 0:3]
+        e2 = srow[:, 3:6]
         ng_obj = jnp.cross(e1, e2)
-        inv = flat.inst_inv[inst]
-        # world normal = (world_to_object)^T * ng  (ispc:287-290)
-        normal = normalize(jnp.einsum("rji,rj->ri", inv[:, :3, :3], ng_obj))
-        uv = (
-            (1.0 - hit.u - hit.v)[..., None] * flat.tri_uv0[tri]
-            + hit.u[..., None] * flat.tri_uv1[tri]
-            + hit.v[..., None] * flat.tri_uv2[tri]
-        )
-        mat_id = flat.inst_mat_table[inst, flat.tri_geom_slot[tri]]
-        mat = unpack_material(flat, mat_id, uv)
+        if meta.num_instances == 1:
+            # static instance: world normal via one small matmul
+            inv3 = flat.inst_inv[0, :3, :3]
+            normal = normalize(ng_obj @ inv3)
+            mat_id = jax.lax.bitcast_convert_type(srow[:, 13], jnp.int32)
+        else:
+            inst = jnp.clip(hit.inst, 0, meta.num_instances - 1)
+            inv = flat.inst_inv[inst]
+            # world normal = (world_to_object)^T * ng  (ispc:287-290)
+            normal = normalize(jnp.einsum("rji,rj->ri", inv[:, :3, :3], ng_obj))
+            geom_slot = jax.lax.bitcast_convert_type(srow[:, 12], jnp.int32)
+            mat_id = flat.inst_mat_table[inst, geom_slot]
+        w = hit.u[..., None]
+        wv = hit.v[..., None]
+        uv = (1.0 - w - wv) * srow[:, 6:8] + w * srow[:, 8:10] + wv * srow[:, 10:12]
+        mat = unpack_material(flat, meta, mat_id, uv)
 
         # Face-forward for non-transmissive materials (ispc:297-299)
         flip = (mat.specular_transmission == 0.0) & (dot(w_o, normal) < 0.0)
