@@ -26,7 +26,7 @@ def main() -> int:
     from chameleonrt_tpu.scene.loader import load_scene
 
     width, height = 1280, 720
-    warmup, frames = 2, 6
+    warmup, frames = 1, 4
 
     # subdiv=4 -> ~224K tris, comparable to Sponza's ~262K
     scene = load_scene("proc://hall?subdiv=4")
