@@ -42,6 +42,9 @@ Options:
 \t-interactive           Read viewer commands from stdin (rotate/pan/zoom/
 \t                       frame/show/save/p/q) with an arcball camera and an
 \t                       ANSI terminal preview
+\t-resume <state.npz>    Resume progressive accumulation from a checkpoint
+\t-checkpoint <state.npz> Save accumulation state after the last frame
+\t-profile <dir>         Capture a jax profiler trace of the render loop
 """
 
 
@@ -63,6 +66,9 @@ def parse_args(argv: List[str]):
         "out": "chameleonrt_tpu_out.png",
         "got_camera_args": False,
         "interactive": False,
+        "resume": None,
+        "checkpoint": None,
+        "profile": None,
     }
     pos: List[str] = []
     i = 0
@@ -114,6 +120,15 @@ def parse_args(argv: List[str]):
         elif a == "-interactive":
             opts["interactive"] = True
             i += 1
+        elif a == "-resume":
+            opts["resume"] = argv[i + 1]
+            i += 2
+        elif a == "-checkpoint":
+            opts["checkpoint"] = argv[i + 1]
+            i += 2
+        elif a == "-profile":
+            opts["profile"] = argv[i + 1]
+            i += 2
         elif not a.startswith("-"):
             pos.append(a)
             i += 1
@@ -128,6 +143,14 @@ def parse_args(argv: List[str]):
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    try:
+        return _main(argv)
+    except (ValueError, OSError, RuntimeError) as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+
+
+def _main(argv: Optional[List[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     opts = parse_args(argv)
     if opts is None:
@@ -177,6 +200,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     if opts["interactive"]:
         return run_interactive(backend, eye, center, up, fov, opts)
 
+    if opts["resume"]:
+        backend.load_state(opts["resume"])
+        print(f"Resumed from {opts['resume']} at frame {backend.frame_id}")
+
+    profiler_cm = None
+    if opts["profile"]:
+        import jax
+
+        profiler_cm = jax.profiler.trace(opts["profile"])
+        profiler_cm.__enter__()
+
     n_frames = opts["benchmark_frames"] or opts["frames"]
     render_times = []
     rays_per_sec = []
@@ -184,7 +218,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     for frame in range(n_frames):
         stats = backend.render(
             eye, dir, up, fov,
-            camera_changed=(frame == 0),
+            camera_changed=(frame == 0 and not opts["resume"]),
             readback_framebuffer=opts["validation"] is not None or frame == n_frames - 1,
         )
         render_times.append(stats.render_time)
@@ -196,6 +230,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         if frame == 0:
             print(f"frame 0 (incl. compile): {stats.render_time:.1f} ms")
     total = time.perf_counter() - app_t0
+    if profiler_cm is not None:
+        profiler_cm.__exit__(None, None, None)
+        print(f"Profiler trace written to {opts['profile']}")
+    if opts["checkpoint"]:
+        backend.save_state(opts["checkpoint"])
+        print(f"Checkpoint saved to {opts['checkpoint']}")
 
     # Benchmark summary (reference main.cpp:334-345)
     steady = render_times[1:] or render_times

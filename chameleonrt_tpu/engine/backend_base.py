@@ -137,3 +137,30 @@ class JaxRenderBackend(RenderBackend):
             self.img = np.asarray(self._tonemap_jit(self._accum))
         self.frame_id += 1
         return stats
+
+    # -- checkpoint / resume --------------------------------------------------
+    # The reference's analogous feature set is progressive-accumulation state
+    # + camera print/restore (SURVEY.md §5): here the full render state
+    # (accumulation buffer + frame counter) round-trips through .npz so a
+    # long progressive render can resume across processes.
+    def save_state(self, path: str) -> None:
+        if self._accum is None:
+            raise RuntimeError("nothing to save: no render state")
+        np.savez_compressed(
+            path,
+            accum=np.asarray(self._accum),
+            frame_id=np.int64(self.frame_id),
+            spp=np.int64(self.samples_per_pixel),
+        )
+
+    def load_state(self, path: str) -> None:
+        data = np.load(path)
+        accum = data["accum"]
+        if accum.shape != (self.fb_height, self.fb_width, 3):
+            raise ValueError(
+                f"checkpoint resolution {accum.shape[:2]} does not match "
+                f"framebuffer {(self.fb_height, self.fb_width)}"
+            )
+        self._accum = jnp.asarray(accum)
+        self.frame_id = int(data["frame_id"])
+        self.img = np.asarray(self._tonemap_jit(self._accum))

@@ -88,7 +88,7 @@ def _sample_direct_light(
         )
         light = flat.lights.gather(light_id)
 
-    # --- Light-sampling branch: always traces a shadow ray (ispc:132-153)
+    # --- Light-sampling branch setup (ispc:132-141)
     state, s2 = rng_ops.lcg_randomf2(state)
     light_pos = light_ops.sample_quad_light_position(light, s2)
     to_light = light_pos - hit_p
@@ -96,15 +96,32 @@ def _sample_direct_light(
     light_dir = normalize(to_light)
     light_pdf = light_ops.quad_light_pdf(light, light_pos, hit_p, light_dir)
     b_pdf = bsdf_ops.disney_pdf(mat, n, w_o, light_dir, v_x, v_y)
-    occluded1 = trace_any(flat, hit_p, light_dir, light_dist, active)
+
+    # --- BSDF-sampling branch setup (ispc:155-166)
+    state, f2, w_i, pdf2 = bsdf_ops.sample_disney_brdf(mat, n, w_o, v_x, v_y, state)
+    qhit, t_light, light_pos2 = light_ops.quad_intersect(light, hit_p, w_i)
+    light_pdf2 = light_ops.quad_light_pdf(light, light_pos2, hit_p, w_i)
+    f2_nonzero = jnp.any(f2 != 0.0, axis=-1)
+    shoot = active & f2_nonzero & (pdf2 >= EPSILON) & qhit & (light_pdf2 >= EPSILON)
+
+    # --- ONE fused occlusion traversal for both MIS branches: the two
+    # shadow-ray sets stack into 2R lanes so one lockstep while_loop covers
+    # them (half the fixed per-traversal cost; the sparse bsdf-branch rays
+    # ride along with the dense light-branch ones).
+    occ = trace_any(
+        flat,
+        jnp.concatenate([hit_p, hit_p]),
+        jnp.concatenate([light_dir, w_i]),
+        jnp.concatenate([light_dist, t_light]),
+        jnp.concatenate([active, shoot]),
+    )
+    R = hit_p.shape[0]
+    occluded1 = occ[:R]
+    occluded2 = occ[R:]
+
     f1 = bsdf_ops.disney_brdf(mat, n, w_o, light_dir, v_x, v_y)
     w1 = power_heuristic(1.0, light_pdf, 1.0, b_pdf)
-    take1 = (
-        active
-        & (light_pdf >= EPSILON)
-        & (b_pdf >= EPSILON)
-        & ~occluded1
-    )
+    take1 = active & (light_pdf >= EPSILON) & (b_pdf >= EPSILON) & ~occluded1
     contrib1 = jnp.where(
         take1[..., None],
         f1
@@ -114,13 +131,6 @@ def _sample_direct_light(
         0.0,
     )
 
-    # --- BSDF-sampling branch (ispc:155-179)
-    state, f2, w_i, pdf2 = bsdf_ops.sample_disney_brdf(mat, n, w_o, v_x, v_y, state)
-    qhit, t_light, light_pos2 = light_ops.quad_intersect(light, hit_p, w_i)
-    light_pdf2 = light_ops.quad_light_pdf(light, light_pos2, hit_p, w_i)
-    f2_nonzero = jnp.any(f2 != 0.0, axis=-1)
-    shoot = active & f2_nonzero & (pdf2 >= EPSILON) & qhit & (light_pdf2 >= EPSILON)
-    occluded2 = trace_any(flat, hit_p, w_i, t_light, shoot)
     w2 = power_heuristic(1.0, pdf2, 1.0, light_pdf2)
     take2 = shoot & ~occluded2
     contrib2 = jnp.where(

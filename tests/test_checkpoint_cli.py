@@ -1,0 +1,84 @@
+"""Checkpoint/resume round-trip + CLI flag coverage + clean error paths."""
+
+import numpy as np
+import pytest
+
+from chameleonrt_tpu import cli
+from chameleonrt_tpu.core import get_backend
+from chameleonrt_tpu.scene.loader import load_scene
+
+
+class TestCheckpointResume:
+    def test_state_roundtrip_continues_accumulation(self, tmp_path):
+        scene = load_scene("proc://cornell")
+        cam = scene.cameras[0]
+        d = cam.center - cam.position
+        d /= np.linalg.norm(d)
+
+        a = get_backend("tpu")
+        a.initialize(16, 16)
+        a.set_scene(scene)
+        for i in range(3):
+            a.render(cam.position, d, cam.up, cam.fov_y, i == 0, False)
+        ckpt = str(tmp_path / "state.npz")
+        a.save_state(ckpt)
+
+        # continue 2 more frames in the original backend
+        for _ in range(2):
+            a.render(cam.position, d, cam.up, cam.fov_y, False, False)
+        want = np.asarray(a._accum)
+
+        # fresh backend resumes from the checkpoint and renders the same 2
+        b = get_backend("tpu")
+        b.initialize(16, 16)
+        b.set_scene(scene)
+        b.load_state(ckpt)
+        assert b.frame_id == 3
+        for _ in range(2):
+            b.render(cam.position, d, cam.up, cam.fov_y, False, False)
+        np.testing.assert_allclose(np.asarray(b._accum), want, rtol=1e-5, atol=1e-6)
+
+    def test_resolution_mismatch_rejected(self, tmp_path):
+        scene = load_scene("proc://cornell")
+        cam = scene.cameras[0]
+        d = cam.center - cam.position
+        d /= np.linalg.norm(d)
+        a = get_backend("tpu")
+        a.initialize(16, 16)
+        a.set_scene(scene)
+        a.render(cam.position, d, cam.up, cam.fov_y, True, False)
+        ckpt = str(tmp_path / "s.npz")
+        a.save_state(ckpt)
+        b = get_backend("tpu")
+        b.initialize(8, 8)
+        b.set_scene(scene)
+        with pytest.raises(ValueError, match="resolution"):
+            b.load_state(ckpt)
+
+
+class TestCliFlags:
+    def test_checkpoint_resume_flags(self, tmp_path):
+        ckpt = str(tmp_path / "c.npz")
+        out1 = str(tmp_path / "a.png")
+        rc = cli.main(
+            ["tpu", "proc://cornell", "-img", "16", "16", "-frames", "2",
+             "-checkpoint", ckpt, "-o", out1]
+        )
+        assert rc == 0
+        out2 = str(tmp_path / "b.png")
+        rc = cli.main(
+            ["tpu", "proc://cornell", "-img", "16", "16", "-frames", "2",
+             "-resume", ckpt, "-o", out2]
+        )
+        assert rc == 0
+
+    def test_clean_error_on_bad_scene(self, capsys):
+        rc = cli.main(["tpu", "proc://nope"])
+        assert rc == 1
+        err = capsys.readouterr().err
+        assert "Error:" in err and "Traceback" not in err
+
+    def test_clean_error_on_missing_file(self, capsys):
+        rc = cli.main(["tpu", "/does/not/exist.obj"])
+        assert rc == 1
+        assert "Error:" in capsys.readouterr().err
