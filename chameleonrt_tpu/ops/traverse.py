@@ -136,6 +136,45 @@ def _leaf_step(pbvh: PackedBvh, leaf_id, orig, dir, t_min, t_max):
     return best_t, best_prim, best_u, best_v, anyhit
 
 
+def _leaf_step_any(pbvh: PackedBvh, leaf_id, orig, dir, t_min, t_max):
+    """Occlusion-only leaf test: the Möller–Trumbore block without the
+    closest-slot selection machinery (any-hit needs one bool per lane)."""
+    L = pbvh.leaf_size
+    rows = pbvh.leaf_rows[leaf_id]  # (R, 10L), component-major
+
+    def g(c):
+        return rows[:, c * L : (c + 1) * L]
+
+    v0x, v0y, v0z = g(0), g(1), g(2)
+    e1x, e1y, e1z = g(3), g(4), g(5)
+    e2x, e2y, e2z = g(6), g(7), g(8)
+    prim = jax.lax.bitcast_convert_type(g(9), jnp.int32)
+    ox, oy, oz = orig[:, 0:1], orig[:, 1:2], orig[:, 2:3]
+    dx, dy, dz = dir[:, 0:1], dir[:, 1:2], dir[:, 2:3]
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv = 1.0 / jnp.where(jnp.abs(det) < _MT_EPS, 1.0, det)
+    tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv
+    hit = (
+        (jnp.abs(det) >= _MT_EPS)
+        & (prim >= 0)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > t_min[:, None])
+        & (t < t_max[:, None])
+    )
+    return jnp.any(hit, axis=1)
+
+
 def _node_step(pbvh: PackedBvh, cur, orig, inv_dir, t_min, t_max):
     """Internal-node step: one (R, 16) row gather + scalar-column slab tests
     of both children. (A width-2 component-paired variant with
@@ -278,7 +317,7 @@ def traverse_any(pbvh: PackedBvh, orig, dir, t_min, t_max, mask):
     inv_dir = 1.0 / dir
 
     if pbvh.num_leaves == 1:
-        _, _, _, _, anyhit = _leaf_step(
+        anyhit = _leaf_step_any(
             pbvh, jnp.zeros((R,), jnp.int32), orig, dir, t_min, t_max
         )
         return anyhit & mask
@@ -310,7 +349,7 @@ def traverse_any(pbvh: PackedBvh, orig, dir, t_min, t_max, mask):
         sp = jnp.where(both, jnp.minimum(sp + 1, STACK_DEPTH - 1), sp)
 
         leaf_id = jnp.where(is_leaf, -cur - 1, 0)
-        _, _, _, _, anyhit = _leaf_step(pbvh, leaf_id, orig, dir, t_min, t_max)
+        anyhit = _leaf_step_any(pbvh, leaf_id, orig, dir, t_min, t_max)
         newly = is_leaf & anyhit
         occluded = occluded | newly
 
