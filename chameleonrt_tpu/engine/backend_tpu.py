@@ -15,18 +15,14 @@ from chameleonrt_tpu.scene.types import Scene
 
 
 class TpuBackend(JaxRenderBackend):
-    def __init__(self, report_ray_stats: bool = True):
-        super().__init__(report_ray_stats=report_ray_stats)
-        self.blas_set = None
-
     @property
     def name(self) -> str:
         return "TPU wavefront (LBVH)"
 
     def prepare_scene(self, scene: Scene):
         flat, meta = build_device_scene(scene)
-        self.blas_set = build_blas_set(flat, meta)
+        flat = flat._replace(blas=build_blas_set(flat, meta))
         return flat, meta
 
     def make_trace_fns(self, meta):
-        return make_trace_fns(meta, self.blas_set)
+        return make_trace_fns(meta)

@@ -56,6 +56,13 @@ class FlatScene(NamedTuple):
     materials: MaterialBatch  # (M,) fields
     lights: LightArrays  # (L,) fields
     atlas: TextureAtlas
+    # Acceleration structures: one PackedBvh per mesh (set by the BVH
+    # backend; empty for the brute-force oracle). Part of the pytree so
+    # the (potentially hundreds of MB) BVH arrays enter jitted functions
+    # as ARGUMENTS — closing over them bakes them into the HLO as
+    # constants, which the axon remote-compile rejects for large scenes
+    # (HTTP 413 at ~6.7M tris).
+    blas: tuple = ()
 
 
 @dataclass(frozen=True)

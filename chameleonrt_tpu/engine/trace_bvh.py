@@ -47,9 +47,10 @@ def build_blas_set(flat: FlatScene, meta: SceneMeta) -> Tuple[PackedBvh, ...]:
     return tuple(blas)
 
 
-def make_trace_fns(meta: SceneMeta, blas_set: Tuple[PackedBvh, ...]):
+def make_trace_fns(meta: SceneMeta):
     """(trace_closest, trace_any) using per-mesh BLAS traversal with a
-    statically unrolled instance loop."""
+    statically unrolled instance loop. The packed BVHs ride in flat.blas
+    (jit arguments, not closure constants — see FlatScene.blas)."""
 
     def _object_rays(flat: FlatScene, inst_id: int, orig, dir):
         inv = flat.inst_inv[inst_id]
@@ -66,7 +67,7 @@ def make_trace_fns(meta: SceneMeta, blas_set: Tuple[PackedBvh, ...]):
                 continue
             o, d = _object_rays(flat, inst_id, orig, dir)
             t, prim, u, v = traverse_closest_blocked(
-                blas_set[mesh_id],
+                flat.blas[mesh_id],
                 o,
                 d,
                 jnp.broadcast_to(jnp.float32(t_min), o.shape[:1]),
@@ -98,7 +99,7 @@ def make_trace_fns(meta: SceneMeta, blas_set: Tuple[PackedBvh, ...]):
                 continue
             o, d = _object_rays(flat, inst_id, orig, dir)
             occluded = occluded | traverse_any_blocked(
-                blas_set[mesh_id],
+                flat.blas[mesh_id],
                 o,
                 d,
                 jnp.broadcast_to(jnp.float32(EPSILON), o.shape[:1]),
