@@ -6,12 +6,14 @@ Design: the whole ray wavefront traverses in lockstep inside one
 every iteration performs, per lane, either an internal-node step or a leaf
 step, selected by mask.
 
-HBM gathers are the scarce resource on TPU, so the loop runs on the
-`PackedBvh` layout (ops/lbvh.py): an internal step is ONE 16-float row
-gather (both children's AABBs + child pointers fused into the parent), and a
-leaf step is ONE (LEAF_SIZE, 9) row gather followed by a rectangular
-Möller–Trumbore block on the VPU. Child pointers encode leaves as negative
-values (-(leaf+1)), so leaf-ness is a sign test.
+HBM gathers and relayouts are the scarce resources on TPU, so the loop
+runs on the `PackedBvh` layout (ops/lbvh.py): an internal step is ONE
+16-float row gather (both children's AABBs + child pointers fused into the
+parent) with scalar-column slab tests; a leaf step is ONE component-major
+row gather + contiguous (R, LEAF_SIZE) block slices + Möller–Trumbore in
+the (R, L) domain with reduction-based closest-slot selection. Child
+pointers encode leaves as negative values (-(leaf+1)): leaf-ness is a sign
+test. See docs/ARCHITECTURE.md "Measured v5e kernel rules".
 
 Divergence is bounded by ordered near-first descent and, for occlusion rays,
 per-lane early-out on first hit.
@@ -19,12 +21,10 @@ per-lane early-out on first hit.
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 
-from chameleonrt_tpu.ops.intersect import T_MAX, moller_trumbore
+from chameleonrt_tpu.ops.intersect import T_MAX
 from chameleonrt_tpu.ops.lbvh import PackedBvh
 
 STACK_DEPTH = 48
@@ -57,19 +57,6 @@ def _map_blocks(fn, args, R: int, block: int):
     return jax.tree.map(
         lambda o: o.reshape((padded,) + o.shape[2:])[:R], outs
     )
-
-
-def _slab_test(orig, inv_dir, t_min, t_max, box_min, box_max):
-    """Ray/AABB slab test. Returns (hit, t_entry). Robust to inf inv_dir."""
-    t0 = (box_min - orig) * inv_dir
-    t1 = (box_max - orig) * inv_dir
-    tnear = jnp.minimum(t0, t1)
-    tfar = jnp.maximum(t0, t1)
-    tnear = jnp.where(jnp.isnan(tnear), -jnp.inf, tnear)
-    tfar = jnp.where(jnp.isnan(tfar), jnp.inf, tfar)
-    entry = jnp.maximum(jnp.max(tnear, axis=-1), t_min)
-    exit_ = jnp.minimum(jnp.min(tfar, axis=-1), t_max)
-    return entry <= exit_, entry
 
 
 _MT_EPS = 1e-9
