@@ -27,10 +27,26 @@ from chameleonrt_tpu.ops.math import EPSILON, transform_point, transform_vector
 from chameleonrt_tpu.ops.traverse import traverse_any_blocked, traverse_closest_blocked
 
 
+def _bucket_size(n: int) -> int:
+    """Round a triangle count up to a bucketed size (~12.5% granularity) so
+    the jitted BVH build compiles once per bucket instead of once per mesh —
+    fresh compiles through the TPU tunnel run minutes each, so a multi-mesh
+    glTF would otherwise pay one per distinct mesh size
+    (SURVEY.md §7 'pad to bucketed sizes')."""
+    if n <= 256:
+        return 256
+    step = max(1 << (n.bit_length() - 4), 1)
+    return ((n + step - 1) // step) * step
+
+
 def build_blas_set(flat: FlatScene, meta: SceneMeta) -> Tuple[PackedBvh, ...]:
     """Build one packed LBVH per mesh over its triangle range (the set_scene
     BLAS-build phase, reference render_optix.cpp:134-172, minus vendor
-    APIs). Leaf prim ids are LOCAL to the mesh range."""
+    APIs). Leaf prim ids are LOCAL to the mesh range.
+
+    Triangle ranges are padded to bucketed sizes with duplicates of the last
+    triangle (harmless: a padded hit reports a prim id that the caller clamps
+    back onto the identical real triangle)."""
 
     @jax.jit
     def build(v0, e1, e2):
@@ -40,9 +56,11 @@ def build_blas_set(flat: FlatScene, meta: SceneMeta) -> Tuple[PackedBvh, ...]:
 
     blas = []
     for start, count in meta.mesh_tri_ranges:
-        v0 = flat.tri_v0[start : start + count]
-        e1 = flat.tri_e1[start : start + count]
-        e2 = flat.tri_e2[start : start + count]
+        padded = _bucket_size(count)
+        idx = jnp.minimum(jnp.arange(padded), count - 1) + start
+        v0 = flat.tri_v0[idx]
+        e1 = flat.tri_e1[idx]
+        e2 = flat.tri_e2[idx]
         blas.append(jax.block_until_ready(build(v0, e1, e2)))
     return tuple(blas)
 
@@ -77,7 +95,9 @@ def make_trace_fns(meta: SceneMeta):
             found = prim >= 0
             cand = Hit(
                 t=jnp.where(found, t, T_MAX),
-                tri=jnp.where(found, prim + start, -1),
+                # clamp: padded duplicates of the last triangle map back
+                # onto the real one (see build_blas_set bucketing)
+                tri=jnp.where(found, jnp.minimum(prim, count - 1) + start, -1),
                 inst=jnp.where(found, inst_id, -1),
                 u=u,
                 v=v,
