@@ -10,7 +10,11 @@ from __future__ import annotations
 
 from chameleonrt_tpu.engine.backend_base import JaxRenderBackend
 from chameleonrt_tpu.engine.device_scene import build_device_scene
-from chameleonrt_tpu.engine.trace_bvh import build_blas_set, make_trace_fns
+from chameleonrt_tpu.engine.trace_bvh import (
+    build_blas_set,
+    compute_instance_aabbs,
+    make_trace_fns,
+)
 from chameleonrt_tpu.scene.types import Scene
 
 
@@ -22,6 +26,7 @@ class TpuBackend(JaxRenderBackend):
     def prepare_scene(self, scene: Scene):
         flat, meta = build_device_scene(scene)
         flat = flat._replace(blas=build_blas_set(flat, meta))
+        flat = flat._replace(inst_aabb=compute_instance_aabbs(flat, meta))
         return flat, meta
 
     def make_trace_fns(self, meta):

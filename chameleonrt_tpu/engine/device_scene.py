@@ -63,6 +63,10 @@ class FlatScene(NamedTuple):
     # constants, which the axon remote-compile rejects for large scenes
     # (HTTP 413 at ~6.7M tris).
     blas: tuple = ()
+    # Per-instance world-space AABBs (I, 6) [min xyz, max xyz], used to
+    # cull whole instances per ray before BLAS traversal (set alongside
+    # blas; empty array for the brute-force oracle).
+    inst_aabb: jnp.ndarray = jnp.zeros((0, 6), jnp.float32)
 
 
 @dataclass(frozen=True)

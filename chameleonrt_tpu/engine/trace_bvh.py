@@ -65,10 +65,56 @@ def build_blas_set(flat: FlatScene, meta: SceneMeta) -> Tuple[PackedBvh, ...]:
     return tuple(blas)
 
 
+def compute_instance_aabbs(flat: FlatScene, meta: SceneMeta) -> jnp.ndarray:
+    """World-space AABB per instance (I, 6): the BLAS root box (union of the
+    packed root row's two child boxes) pushed through the instance transform
+    via its 8 corners. Used for per-ray instance culling."""
+    import numpy as np
+
+    out = np.zeros((meta.num_instances, 6), np.float32)
+    for inst_id, mesh_id in enumerate(meta.inst_mesh):
+        root = np.asarray(flat.blas[mesh_id].nodes[0])
+        lo = np.minimum(root[0:3], root[6:9])
+        hi = np.maximum(root[3:6], root[9:12])
+        # empty right box (single-leaf BVH) contributes inf/-inf; guard
+        lo = np.where(np.isfinite(lo), lo, np.minimum(root[0:3], root[3:6]))
+        hi = np.where(np.isfinite(hi), hi, np.maximum(root[0:3], root[3:6]))
+        corners = np.array(
+            [[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1]) for z in (lo[2], hi[2])],
+            np.float32,
+        )
+        m = np.asarray(flat.inst_transform[inst_id])
+        wc = corners @ m[:3, :3].T + m[:3, 3]
+        out[inst_id, 0:3] = wc.min(axis=0)
+        out[inst_id, 3:6] = wc.max(axis=0)
+    return jnp.asarray(out)
+
+
+def _instance_cull(flat: FlatScene, inst_id: int, orig, dir, t_min, t_max):
+    """Ray vs instance world-AABB slab test: lanes that miss the box skip
+    that instance's whole BLAS traversal (their while-loop lanes start
+    done)."""
+    box = flat.inst_aabb[inst_id]
+    inv = 1.0 / dir
+    entry = t_min
+    exit_ = t_max
+    for axis in range(3):
+        t0 = (box[axis] - orig[:, axis]) * inv[:, axis]
+        t1 = (box[axis + 3] - orig[:, axis]) * inv[:, axis]
+        lo = jnp.minimum(t0, t1)
+        hi = jnp.maximum(t0, t1)
+        lo = jnp.where(jnp.isnan(lo), -jnp.inf, lo)
+        hi = jnp.where(jnp.isnan(hi), jnp.inf, hi)
+        entry = jnp.maximum(entry, lo)
+        exit_ = jnp.minimum(exit_, hi)
+    return entry <= exit_
+
+
 def make_trace_fns(meta: SceneMeta):
     """(trace_closest, trace_any) using per-mesh BLAS traversal with a
-    statically unrolled instance loop. The packed BVHs ride in flat.blas
-    (jit arguments, not closure constants — see FlatScene.blas)."""
+    statically unrolled instance loop + per-ray instance AABB culling.
+    The packed BVHs ride in flat.blas (jit arguments, not closure
+    constants — see FlatScene.blas)."""
 
     def _object_rays(flat: FlatScene, inst_id: int, orig, dir):
         inv = flat.inst_inv[inst_id]
@@ -77,19 +123,26 @@ def make_trace_fns(meta: SceneMeta):
             transform_vector(inv[None], dir),
         )
 
+    multi = meta.num_instances > 1
+
     def trace_closest(flat: FlatScene, orig, dir, t_min, active):
         best = Hit.none(orig.shape[:1])
         for inst_id, mesh_id in enumerate(meta.inst_mesh):
             start, count = meta.mesh_tri_ranges[mesh_id]
             if count == 0:
                 continue
+            inst_active = active
+            if multi:
+                inst_active = active & _instance_cull(
+                    flat, inst_id, orig, dir, jnp.float32(t_min), best.t
+                )
             o, d = _object_rays(flat, inst_id, orig, dir)
             t, prim, u, v = traverse_closest_blocked(
                 flat.blas[mesh_id],
                 o,
                 d,
                 jnp.broadcast_to(jnp.float32(t_min), o.shape[:1]),
-                active,
+                inst_active,
                 t_max=best.t,
             )
             found = prim >= 0
@@ -117,6 +170,11 @@ def make_trace_fns(meta: SceneMeta):
             start, count = meta.mesh_tri_ranges[mesh_id]
             if count == 0:
                 continue
+            inst_mask = mask & ~occluded
+            if multi:
+                inst_mask = inst_mask & _instance_cull(
+                    flat, inst_id, orig, dir, jnp.float32(EPSILON), t_max
+                )
             o, d = _object_rays(flat, inst_id, orig, dir)
             occluded = occluded | traverse_any_blocked(
                 flat.blas[mesh_id],
@@ -124,7 +182,7 @@ def make_trace_fns(meta: SceneMeta):
                 d,
                 jnp.broadcast_to(jnp.float32(EPSILON), o.shape[:1]),
                 t_max,
-                mask & ~occluded,
+                inst_mask,
             )
         return occluded & mask
 
