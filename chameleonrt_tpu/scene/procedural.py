@@ -150,16 +150,22 @@ def _subdivide_quads(verts, idx, levels: int):
     return verts, idx
 
 
-def hall(columns: int = 8, subdiv: int = 3, seed: int = 7) -> Scene:
+def hall(columns: int = 8, subdiv: int = 3, seed: int = 7, textured: int = 0) -> Scene:
     """"Sponza-like" procedural atrium: a long hall with rows of columns,
     boxes, and subdivided walls. With the defaults it lands around 250-300K
     triangles, similar to Sponza's ~260K, with comparable occlusion and
-    divergence character (long sight lines, many small occluders)."""
+    divergence character (long sight lines, many small occluders).
+    ``textured=1`` adds a procedural diffuse texture (Sponza is textured, so
+    benchmarks should exercise the atlas-sampling path) with box-projected
+    UVs."""
     rng = np.random.default_rng(seed)
     L, W, H = 20.0, 8.0, 6.0
+    # Open-topped atrium like Sponza: partial ceiling slabs along the rims,
+    # open in the middle so the overhead quad light illuminates the interior.
     parts = [
         _quad([-L, 0, -W], [L, 0, -W], [L, 0, W], [-L, 0, W]),  # floor
-        _quad([-L, H, W], [L, H, W], [L, H, -W], [-L, H, -W]),  # ceiling
+        _quad([-L, H, W], [L, H, W], [L, H, W - 2.5], [-L, H, W - 2.5]),  # rim +z
+        _quad([-L, H, -W + 2.5], [L, H, -W + 2.5], [L, H, -W], [-L, H, -W]),  # rim -z
         _quad([-L, 0, W], [L, 0, W], [L, H, W], [-L, H, W]),  # +z wall
         _quad([L, 0, -W], [-L, 0, -W], [-L, H, -W], [L, H, -W]),  # -z wall
         _quad([-L, 0, -W], [-L, 0, W], [-L, H, W], [-L, H, -W]),  # -x wall
@@ -182,25 +188,51 @@ def hall(columns: int = 8, subdiv: int = 3, seed: int = 7) -> Scene:
     verts, idx = _subdivide_quads(verts, idx, subdiv)
 
     scene = Scene()
-    scene.materials = [
-        DisneyMaterial(base_color=np.array([0.75, 0.71, 0.68], np.float32)),
+    mat = DisneyMaterial(base_color=np.array([0.75, 0.71, 0.68], np.float32))
+    uvs = None
+    if textured:
+        from chameleonrt_tpu.scene.types import ColorSpace, Image
+
+        # procedural brick-ish texture (deterministic)
+        ty, tx = np.mgrid[0:256, 0:256]
+        brick = ((ty // 32 + tx // 64) % 2) * 60 + 140
+        mortar = ((ty % 32 < 3) | (tx % 64 < 3)).astype(np.uint8) * 255
+        noise = np.random.default_rng(3).integers(0, 25, (256, 256), np.uint8)
+        r = np.clip(brick * 0.9 + noise - mortar * 0.3, 0, 255).astype(np.uint8)
+        g = np.clip(brick * 0.55 + noise - mortar * 0.25, 0, 255).astype(np.uint8)
+        b = np.clip(brick * 0.45 + noise - mortar * 0.2, 0, 255).astype(np.uint8)
+        tex = np.stack([r, g, b], axis=-1)
+        scene.textures.append(Image(name="brick", data=tex, color_space=ColorSpace.SRGB))
+        mat.set_color_texture(0)
+        # box-projected UVs from the two largest-extent axes per vertex
+        uvs = (verts[:, [0, 1]] + verts[:, [2, 2]] * 0.25) * 0.5
+        uvs = uvs.astype(np.float32)
+    scene.materials = [mat]
+    scene.meshes = [
+        Mesh(geometries=[Geometry(vertices=verts, indices=idx, uvs=uvs)])
     ]
-    scene.meshes = [Mesh(geometries=[Geometry(vertices=verts, indices=idx)])]
     scene.parameterized_meshes = [ParameterizedMesh(0, [0])]
     scene.instances = [Instance(np.eye(4, dtype=np.float32), 0)]
 
-    normal = np.array([0.3, -0.9, 0.2], np.float32)
+    # sun-like quad above the open atrium roof, tilted slightly
+    normal = np.array([0.15, -0.95, 0.1], np.float32)
     normal /= np.linalg.norm(normal)
     v_x, v_y = ortho_basis(normal)
+    width, height = 10.0, 4.0
+    position = (
+        np.array([0.0, H + 4.0, 0.0], np.float32)
+        - 0.5 * width * v_x
+        - 0.5 * height * v_y
+    )
     scene.lights = [
         QuadLight(
-            emission=np.full(3, 30.0, np.float32),
-            position=-18.0 * normal + np.array([0.0, 0.0, 0.0], np.float32),
+            emission=np.full(3, 25.0, np.float32),
+            position=position,
             normal=normal,
             v_x=v_x,
             v_y=v_y,
-            width=6.0,
-            height=6.0,
+            width=width,
+            height=height,
         )
     ]
     scene.cameras = [
