@@ -39,29 +39,80 @@ def _bucket_size(n: int) -> int:
     return ((n + step - 1) // step) * step
 
 
+def _pad_rows(a, n: int):
+    """Pad a 2D array to n rows with zeros. Padded BVH rows are never
+    referenced (no child pointer reaches them); padding exists only so the
+    render graph compiles once per bucketed shape instead of once per exact
+    mesh size."""
+    import numpy as np
+
+    if a.shape[0] >= n:
+        return a
+    return np.pad(a, ((0, n - a.shape[0]), (0, 0)))
+
+
 def build_blas_set(flat: FlatScene, meta: SceneMeta) -> Tuple[PackedBvh, ...]:
-    """Build one packed LBVH per mesh over its triangle range (the set_scene
+    """Build one packed BVH per mesh over its triangle range (the set_scene
     BLAS-build phase, reference render_optix.cpp:134-172, minus vendor
     APIs). Leaf prim ids are LOCAL to the mesh range.
 
-    Triangle ranges are padded to bucketed sizes with duplicates of the last
-    triangle (harmless: a padded hit reports a prim id that the caller clamps
-    back onto the identical real triangle)."""
+    Default path: host-side native binned-SAH build (native/bvhbuilder.cpp —
+    the role of rtcCommitScene's SAH build, embree_utils.cpp:63-83) + one
+    upload; no device compile at all, and depth is hard-bounded below the
+    traversal stack. Fallback (native lib unavailable): on-device LBVH.
 
-    @jax.jit
-    def build(v0, e1, e2):
-        tmin, tmax = triangle_aabbs(v0, e1, e2)
-        bvh = build_bvh(tmin, tmax)
-        return pack_bvh(bvh, v0, e1, e2)
+    Row counts / triangle ranges are padded to bucketed sizes so the render
+    graph compiles once per bucket instead of once per mesh size — fresh
+    compiles through the TPU tunnel run minutes each."""
+    import numpy as np
 
+    from chameleonrt_tpu import native
+    from chameleonrt_tpu.ops.lbvh import LEAF_SIZE
+
+    build_jit = None
     blas = []
+    host_tris = None
     for start, count in meta.mesh_tri_ranges:
+        if native.get_lib() is not None and count > 0:
+            if host_tris is None:
+                host_tris = (
+                    np.asarray(flat.tri_v0),
+                    np.asarray(flat.tri_e1),
+                    np.asarray(flat.tri_e2),
+                )
+            res = native.build_bvh_native(
+                host_tris[0][start : start + count],
+                host_tris[1][start : start + count],
+                host_tris[2][start : start + count],
+                LEAF_SIZE,
+            )
+            if res is not None:
+                nodes, leaf_rows, depth = res
+                nodes = _pad_rows(nodes, _bucket_size(nodes.shape[0]))
+                leaf_rows = _pad_rows(leaf_rows, _bucket_size(leaf_rows.shape[0]))
+                blas.append(
+                    PackedBvh(
+                        nodes=jnp.asarray(nodes),
+                        leaf_rows=jnp.asarray(leaf_rows),
+                        max_depth=depth,
+                    )
+                )
+                continue
+
+        if build_jit is None:
+
+            @jax.jit
+            def build_jit(v0, e1, e2):
+                tmin, tmax = triangle_aabbs(v0, e1, e2)
+                bvh = build_bvh(tmin, tmax)
+                return pack_bvh(bvh, v0, e1, e2)
+
         padded = _bucket_size(count)
         idx = jnp.minimum(jnp.arange(padded), count - 1) + start
         v0 = flat.tri_v0[idx]
         e1 = flat.tri_e1[idx]
         e2 = flat.tri_e2[idx]
-        blas.append(jax.block_until_ready(build(v0, e1, e2)))
+        blas.append(jax.block_until_ready(build_jit(v0, e1, e2)))
     return tuple(blas)
 
 
@@ -127,6 +178,7 @@ def make_trace_fns(meta: SceneMeta):
 
     def trace_closest(flat: FlatScene, orig, dir, t_min, active):
         best = Hit.none(orig.shape[:1])
+        ovf = jnp.zeros(orig.shape[:1], bool)
         for inst_id, mesh_id in enumerate(meta.inst_mesh):
             start, count = meta.mesh_tri_ranges[mesh_id]
             if count == 0:
@@ -146,6 +198,10 @@ def make_trace_fns(meta: SceneMeta):
                 t_max=best.t,
             )
             found = prim >= 0
+            # prim == -2 marks traversal stack overflow (reachable only on
+            # the uncertified-depth LBVH path): the lane's result may have
+            # dropped subtrees anywhere, so poison the whole lane below.
+            ovf = ovf | (prim == -2)
             cand = Hit(
                 t=jnp.where(found, t, T_MAX),
                 # clamp: padded duplicates of the last triangle map back
@@ -156,10 +212,11 @@ def make_trace_fns(meta: SceneMeta):
                 v=v,
             )
             best = best.merge(cand)
+        ok = active & ~ovf
         return Hit(
-            t=jnp.where(active, best.t, T_MAX),
-            tri=jnp.where(active, best.tri, -1),
-            inst=jnp.where(active, best.inst, -1),
+            t=jnp.where(ok, best.t, T_MAX),
+            tri=jnp.where(ok, best.tri, jnp.where(active & ovf, -2, -1)),
+            inst=jnp.where(ok, best.inst, -1),
             u=best.u,
             v=best.v,
         )

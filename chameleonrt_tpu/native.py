@@ -78,8 +78,64 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint32),
     ]
     lib.crt_obj_free.argtypes = [ctypes.c_void_p]
+    lib.crt_bvh_build.restype = ctypes.c_void_p
+    lib.crt_bvh_build.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int32,
+    ]
+    lib.crt_bvh_num_internal.restype = ctypes.c_int64
+    lib.crt_bvh_num_internal.argtypes = [ctypes.c_void_p]
+    lib.crt_bvh_num_leaves.restype = ctypes.c_int64
+    lib.crt_bvh_num_leaves.argtypes = [ctypes.c_void_p]
+    lib.crt_bvh_max_depth.restype = ctypes.c_int32
+    lib.crt_bvh_max_depth.argtypes = [ctypes.c_void_p]
+    lib.crt_bvh_nodes.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+    lib.crt_bvh_leaf_rows.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+    lib.crt_bvh_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
+
+
+def build_bvh_native(v0, e1, e2, leaf_size: int):
+    """Binned-SAH packed-BVH build in native C++ (native/bvhbuilder.cpp).
+
+    Returns (nodes (n_internal, 16) f32, leaf_rows (n_leaves, 10*leaf_size)
+    f32, max_depth) as numpy arrays in the exact PackedBvh layout, or None
+    when the native library is unavailable (callers fall back to the
+    on-device LBVH). Replaces the role of rtcCommitScene's SAH build
+    (reference backends/embree/embree_utils.cpp:63-83)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    v0 = np.ascontiguousarray(v0, np.float32)
+    e1 = np.ascontiguousarray(e1, np.float32)
+    e2 = np.ascontiguousarray(e2, np.float32)
+    n = v0.shape[0]
+    if n == 0:
+        return None
+    fptr = ctypes.POINTER(ctypes.c_float)
+    handle = lib.crt_bvh_build(
+        v0.ctypes.data_as(fptr),
+        e1.ctypes.data_as(fptr),
+        e2.ctypes.data_as(fptr),
+        n,
+        leaf_size,
+    )
+    if not handle:
+        return None
+    try:
+        n_internal = lib.crt_bvh_num_internal(handle)
+        n_leaves = lib.crt_bvh_num_leaves(handle)
+        nodes = np.empty((n_internal, 16), np.float32)
+        leaf_rows = np.empty((n_leaves, 10 * leaf_size), np.float32)
+        lib.crt_bvh_nodes(handle, nodes.ctypes.data_as(fptr))
+        lib.crt_bvh_leaf_rows(handle, leaf_rows.ctypes.data_as(fptr))
+        return nodes, leaf_rows, int(lib.crt_bvh_max_depth(handle))
+    finally:
+        lib.crt_bvh_free(handle)
 
 
 class NativeObjShape:

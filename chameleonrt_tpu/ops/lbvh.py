@@ -22,7 +22,8 @@ denotes a leaf — one integer compare in the traversal hot loop.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -45,7 +46,9 @@ class Bvh(NamedTuple):
         return (self.node_left.shape[0] + 1) // 2
 
 
-class PackedBvh(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class PackedBvh:
     """Gather-optimized BVH layout for the TPU traversal hot loop.
 
     TPU HBM gathers dominate traversal cost, so each traversal step must be
@@ -72,6 +75,19 @@ class PackedBvh(NamedTuple):
 
     nodes: jnp.ndarray
     leaf_rows: jnp.ndarray
+    # Exact tree depth (static pytree aux, not a device array) when the
+    # builder can certify one (native SAH build); None for the on-device
+    # LBVH whose Karras hierarchy has no a-priori depth bound. Sizes the
+    # traversal short stack exactly, making overflow impossible by
+    # construction on the certified path.
+    max_depth: Optional[int] = None
+
+    def tree_flatten(self):
+        return (self.nodes, self.leaf_rows), self.max_depth
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux)
 
     @property
     def num_leaves(self) -> int:

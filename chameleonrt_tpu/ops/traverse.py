@@ -30,6 +30,23 @@ from chameleonrt_tpu.ops.lbvh import PackedBvh
 STACK_DEPTH = 48
 _DONE = jnp.int32(0x7FFFFFFF)  # sentinel current-node value: lane finished
 
+# Traversal steps executed per while_loop iteration. Each XLA while
+# iteration pays fixed op-dispatch overhead that dominates the (tiny) HBM
+# traffic of one step at practical block sizes (measured ~20us/iter vs
+# ~2us of gathers at 8K rays on v5e); unrolling K steps into the body
+# amortizes it. Lanes that finish mid-unroll idle behind their masks.
+UNROLL = 4
+
+
+def _stack_limit(pbvh: PackedBvh) -> int:
+    """Exact short-stack size: one slot per tree level when the builder
+    certified a depth (native SAH path — overflow impossible by
+    construction); the conservative STACK_DEPTH otherwise (on-device LBVH,
+    no a-priori Karras bound — overflow is detected and surfaced)."""
+    if pbvh.max_depth is not None:
+        return max(2, min(STACK_DEPTH, pbvh.max_depth + 1))
+    return STACK_DEPTH
+
 # Rays per lockstep block. The while_loop runs until the LAST lane of a
 # block finishes, so the whole wavefront pays one global worst-case if
 # traversed at once; mapping over blocks bounds each block's cost by its own
@@ -62,11 +79,10 @@ def _map_blocks(fn, args, R: int, block: int):
 _MT_EPS = 1e-9
 
 
-def _leaf_step(pbvh: PackedBvh, leaf_id, orig, dir, t_min, t_max):
-    """Leaf intersection: ONE 2D row gather + 10 contiguous (R, L) block
-    slices + Möller–Trumbore in the (R, L) domain + reduction-based
-    closest-slot selection. Returns (t, prim, u, v, anyhit): t=T_MAX /
-    prim=-1 on miss.
+def _mt_core(pbvh: PackedBvh, leaf_id, orig, dir, t_min, t_max):
+    """Shared Möller–Trumbore core over one gathered leaf row: ONE 2D row
+    gather + 10 contiguous (R, L) block slices + rectangular MT in the
+    (R, L) domain. Returns (hit (R, L), t, u, v, prim).
 
     TPU performance rules shaping this code (measured on v5e): width-1
     column extracts of a gathered row and argmin + fancy-indexing both cost
@@ -74,7 +90,6 @@ def _leaf_step(pbvh: PackedBvh, leaf_id, orig, dir, t_min, t_max):
     block slices, (R, L) elementwise math, and minor-dim reductions are
     effectively free — the whole step costs its gather."""
     L = pbvh.leaf_size
-    R = orig.shape[0]
     rows = pbvh.leaf_rows[leaf_id]  # (R, 10L), component-major
 
     def g(c):
@@ -109,6 +124,14 @@ def _leaf_step(pbvh: PackedBvh, leaf_id, orig, dir, t_min, t_max):
         & (t > t_min[:, None])
         & (t < t_max[:, None])
     )
+    return hit, t, u, v, prim
+
+
+def _leaf_step(pbvh: PackedBvh, leaf_id, orig, dir, t_min, t_max):
+    """Closest-hit leaf intersection: MT core + reduction-based closest-slot
+    selection. Returns (t, prim, u, v, anyhit): t=T_MAX / prim=-1 on miss."""
+    L = pbvh.leaf_size
+    hit, t, u, v, prim = _mt_core(pbvh, leaf_id, orig, dir, t_min, t_max)
     t = jnp.where(hit, t, T_MAX)
     best_t = jnp.min(t, axis=1)
     # slot selection purely via reductions (ties resolve to the highest slot)
@@ -124,41 +147,9 @@ def _leaf_step(pbvh: PackedBvh, leaf_id, orig, dir, t_min, t_max):
 
 
 def _leaf_step_any(pbvh: PackedBvh, leaf_id, orig, dir, t_min, t_max):
-    """Occlusion-only leaf test: the Möller–Trumbore block without the
-    closest-slot selection machinery (any-hit needs one bool per lane)."""
-    L = pbvh.leaf_size
-    rows = pbvh.leaf_rows[leaf_id]  # (R, 10L), component-major
-
-    def g(c):
-        return rows[:, c * L : (c + 1) * L]
-
-    v0x, v0y, v0z = g(0), g(1), g(2)
-    e1x, e1y, e1z = g(3), g(4), g(5)
-    e2x, e2y, e2z = g(6), g(7), g(8)
-    prim = jax.lax.bitcast_convert_type(g(9), jnp.int32)
-    ox, oy, oz = orig[:, 0:1], orig[:, 1:2], orig[:, 2:3]
-    dx, dy, dz = dir[:, 0:1], dir[:, 1:2], dir[:, 2:3]
-    px = dy * e2z - dz * e2y
-    py = dz * e2x - dx * e2z
-    pz = dx * e2y - dy * e2x
-    det = e1x * px + e1y * py + e1z * pz
-    inv = 1.0 / jnp.where(jnp.abs(det) < _MT_EPS, 1.0, det)
-    tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
-    u = (tx * px + ty * py + tz * pz) * inv
-    qx = ty * e1z - tz * e1y
-    qy = tz * e1x - tx * e1z
-    qz = tx * e1y - ty * e1x
-    v = (dx * qx + dy * qy + dz * qz) * inv
-    t = (e2x * qx + e2y * qy + e2z * qz) * inv
-    hit = (
-        (jnp.abs(det) >= _MT_EPS)
-        & (prim >= 0)
-        & (u >= 0.0)
-        & (v >= 0.0)
-        & (u + v <= 1.0)
-        & (t > t_min[:, None])
-        & (t < t_max[:, None])
-    )
+    """Occlusion-only leaf test: the MT core without the closest-slot
+    selection machinery (any-hit needs one bool per lane)."""
+    hit, _, _, _, _ = _mt_core(pbvh, leaf_id, orig, dir, t_min, t_max)
     return jnp.any(hit, axis=1)
 
 
@@ -236,17 +227,19 @@ def traverse_closest(pbvh: PackedBvh, orig, dir, t_min, active, t_max=None):
             jnp.where(take, v, 0.0),
         )
 
-    stack = jnp.full((R, STACK_DEPTH), _DONE, jnp.int32)
+    limit = _stack_limit(pbvh)
+    stack = jnp.full((R, limit), _DONE, jnp.int32)
     sp = jnp.zeros((R,), jnp.int32)
     cur = jnp.where(active, 0, _DONE)  # root row 0
-    stack_iota = jnp.arange(STACK_DEPTH, dtype=jnp.int32)[None, :]
+    ovf = jnp.zeros((R,), bool)
+    stack_iota = jnp.arange(limit, dtype=jnp.int32)[None, :]
 
     def cond(state):
         cur = state[0]
         return jnp.any(cur != _DONE)
 
-    def body(state):
-        cur, stack, sp, best_t, best_prim, best_u, best_v = state
+    def step(state):
+        cur, stack, sp, ovf, best_t, best_prim, best_u, best_v = state
         lane_on = cur != _DONE
         is_leaf = lane_on & (cur < 0)
         is_int = lane_on & (cur >= 0)
@@ -262,7 +255,8 @@ def traverse_closest(pbvh: PackedBvh, orig, dir, t_min, active, t_max=None):
         stack = jnp.where(
             both[:, None] & (stack_iota == sp[:, None]), far[:, None], stack
         )
-        sp = jnp.where(both, jnp.minimum(sp + 1, STACK_DEPTH - 1), sp)
+        ovf = ovf | (both & (sp >= limit - 1))
+        sp = jnp.where(both, jnp.minimum(sp + 1, limit - 1), sp)
 
         # ---- leaf step: one fused row gather + rectangular MT
         leaf_id = jnp.where(is_leaf, -cur - 1, 0)
@@ -288,11 +282,20 @@ def traverse_closest(pbvh: PackedBvh, orig, dir, t_min, active, t_max=None):
             next_int,
             jnp.where(can_pop, popped, _DONE),
         )
-        return cur, stack, sp, best_t, best_prim, best_u, best_v
+        return cur, stack, sp, ovf, best_t, best_prim, best_u, best_v
 
-    state = (cur, stack, sp, best_t, best_prim, best_u, best_v)
+    def body(state):
+        for _ in range(UNROLL):
+            state = step(state)
+        return state
+
+    state = (cur, stack, sp, ovf, best_t, best_prim, best_u, best_v)
     state = jax.lax.while_loop(cond, body, state)
-    _, _, _, best_t, best_prim, best_u, best_v = state
+    _, _, _, ovf, best_t, best_prim, best_u, best_v = state
+    # Stack overflow (only reachable on the uncertified-depth LBVH path)
+    # means subtrees were dropped: surface it LOUDLY as prim = -2 misses
+    # rather than returning silently-plausible hits.
+    best_prim = jnp.where(ovf, -2, best_prim)
     miss = best_prim < 0
     return jnp.where(miss, T_MAX, best_t), best_prim, best_u, best_v
 
@@ -309,17 +312,18 @@ def traverse_any(pbvh: PackedBvh, orig, dir, t_min, t_max, mask):
         )
         return anyhit & mask
 
-    stack = jnp.full((R, STACK_DEPTH), _DONE, jnp.int32)
+    limit = _stack_limit(pbvh)
+    stack = jnp.full((R, limit), _DONE, jnp.int32)
     sp = jnp.zeros((R,), jnp.int32)
     cur = jnp.where(mask, 0, _DONE)
     occluded = jnp.zeros((R,), bool)
-    stack_iota = jnp.arange(STACK_DEPTH, dtype=jnp.int32)[None, :]
+    stack_iota = jnp.arange(limit, dtype=jnp.int32)[None, :]
 
     def cond(state):
         cur = state[0]
         return jnp.any(cur != _DONE)
 
-    def body(state):
+    def step(state):
         cur, stack, sp, occluded = state
         lane_on = cur != _DONE
         is_leaf = lane_on & (cur < 0)
@@ -333,7 +337,10 @@ def traverse_any(pbvh: PackedBvh, orig, dir, t_min, t_max, mask):
         stack = jnp.where(
             both[:, None] & (stack_iota == sp[:, None]), far[:, None], stack
         )
-        sp = jnp.where(both, jnp.minimum(sp + 1, STACK_DEPTH - 1), sp)
+        # overflow = conservatively report occluded (a visible artifact, not
+        # a silent light leak); unreachable on the certified SAH path
+        occluded = occluded | (both & (sp >= limit - 1))
+        sp = jnp.where(both, jnp.minimum(sp + 1, limit - 1), sp)
 
         leaf_id = jnp.where(is_leaf, -cur - 1, 0)
         anyhit = _leaf_step_any(pbvh, leaf_id, orig, dir, t_min, t_max)
@@ -358,6 +365,11 @@ def traverse_any(pbvh: PackedBvh, orig, dir, t_min, t_max, mask):
             ),
         )
         return cur, stack, sp, occluded
+
+    def body(state):
+        for _ in range(UNROLL):
+            state = step(state)
+        return state
 
     state = (cur, stack, sp, occluded)
     state = jax.lax.while_loop(cond, body, state)
