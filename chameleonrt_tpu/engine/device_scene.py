@@ -79,6 +79,12 @@ class SceneMeta:
     num_tris: int
     num_instances: int
     has_textures: bool = False
+    # Which material fields carry a texture handle ANYWHERE in the scene
+    # (static, 12 entries: base_color + the 11 scalars in MaterialBatch
+    # order). Most scenes texture only base_color; skipping the 4-gather
+    # bilinear fetch for never-textured fields drops the per-bounce atlas
+    # gather count from ~48 to ~4. Empty tuple = unknown -> fetch all.
+    textured_fields: Tuple[bool, ...] = ()
 
     @property
     def single_identity_instance(self) -> bool:
@@ -256,6 +262,10 @@ def build_device_scene(scene: Scene) -> Tuple[FlatScene, SceneMeta]:
         num_instances=n_inst,
         has_textures=bool(scene.textures)
         and scene.material_mode != MaterialMode.WHITE_DIFFUSE,
+        textured_fields=tuple(
+            bool((packed[:, c].view(np.uint32) & np.uint32(0x80000000)).any())
+            for c in (0, *range(3, 14))
+        ),
     )
     return flat, meta
 
@@ -290,7 +300,13 @@ def unpack_material(flat: FlatScene, meta: SceneMeta, mat_id, uv) -> MaterialBat
     if not meta.has_textures:
         return MaterialBatch(base_color=base_color, **fields)
     atlas = flat.atlas
+    tf = meta.textured_fields or (True,) * 12
     return MaterialBatch(
-        base_color=textured_color_param(atlas, base_color, uv),
-        **{k: textured_scalar_param(atlas, v, uv) for k, v in fields.items()},
+        base_color=textured_color_param(atlas, base_color, uv)
+        if tf[0]
+        else base_color,
+        **{
+            k: textured_scalar_param(atlas, v, uv) if tf[1 + i] else v
+            for i, (k, v) in enumerate(fields.items())
+        },
     )

@@ -24,7 +24,11 @@ from chameleonrt_tpu.engine.device_scene import FlatScene, SceneMeta
 from chameleonrt_tpu.ops.intersect import Hit, T_MAX
 from chameleonrt_tpu.ops.lbvh import PackedBvh, build_bvh, pack_bvh, triangle_aabbs
 from chameleonrt_tpu.ops.math import EPSILON, transform_point, transform_vector
-from chameleonrt_tpu.ops.traverse import traverse_any_blocked, traverse_closest_blocked
+from chameleonrt_tpu.ops.traverse import (
+    ray_sort_perm,
+    traverse_any_blocked,
+    traverse_closest_blocked,
+)
 
 
 def _bucket_size(n: int) -> int:
@@ -177,6 +181,11 @@ def make_trace_fns(meta: SceneMeta):
     multi = meta.num_instances > 1
 
     def trace_closest(flat: FlatScene, orig, dir, t_min, active):
+        # Sort the wavefront (active-first, octant, origin Morton) so each
+        # lockstep block sees similar rays and dead blocks exit immediately;
+        # results are unsorted at the end (bit-identical images).
+        perm, inv_perm = ray_sort_perm(orig, dir, active)
+        orig, dir, active = orig[perm], dir[perm], active[perm]
         best = Hit.none(orig.shape[:1])
         ovf = jnp.zeros(orig.shape[:1], bool)
         for inst_id, mesh_id in enumerate(meta.inst_mesh):
@@ -213,15 +222,19 @@ def make_trace_fns(meta: SceneMeta):
             )
             best = best.merge(cand)
         ok = active & ~ovf
-        return Hit(
+        sorted_hit = Hit(
             t=jnp.where(ok, best.t, T_MAX),
             tri=jnp.where(ok, best.tri, jnp.where(active & ovf, -2, -1)),
             inst=jnp.where(ok, best.inst, -1),
             u=best.u,
             v=best.v,
         )
+        return Hit(*(f[inv_perm] for f in sorted_hit))
 
     def trace_any(flat: FlatScene, orig, dir, t_max, mask):
+        perm, inv_perm = ray_sort_perm(orig, dir, mask)
+        orig, dir, mask = orig[perm], dir[perm], mask[perm]
+        t_max = jnp.broadcast_to(t_max, orig.shape[:1])[perm]
         occluded = jnp.zeros(orig.shape[:1], bool)
         for inst_id, mesh_id in enumerate(meta.inst_mesh):
             start, count = meta.mesh_tri_ranges[mesh_id]
@@ -241,6 +254,6 @@ def make_trace_fns(meta: SceneMeta):
                 t_max,
                 inst_mask,
             )
-        return occluded & mask
+        return (occluded & mask)[inv_perm]
 
     return trace_closest, trace_any

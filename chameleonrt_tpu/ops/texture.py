@@ -81,19 +81,26 @@ def sample_rgb(atlas: TextureAtlas, tex_id, uv):
 
 
 def sample_channel(atlas: TextureAtlas, tex_id, channel, uv):
-    """Bilinear single-channel fetch (reference texture2d.ih:62-83)."""
+    """Bilinear single-channel fetch (reference texture2d.ih:62-83).
+
+    The channel select is a one-hot reduction over full gathered rows, NOT
+    a per-lane minor-dim fancy index `a[idx, ch]`: per-lane minor-dim
+    dynamic indexing is the pattern class that relayouts (~1 ms/op) and
+    faults the v5e/axon compiler at scale (docs/ARCHITECTURE.md)."""
     i00, i10, i01, i11, tx, ty = _bilinear_setup(atlas, tex_id, uv)
     a = atlas.atlas
-    ch = jnp.clip(channel, 0, 3)
-    s00 = a[i00, ch]
-    s10 = a[i10, ch]
-    s01 = a[i01, ch]
-    s11 = a[i11, ch]
+    onehot = (
+        jnp.arange(4, dtype=jnp.int32) == jnp.clip(channel, 0, 3)[..., None]
+    ).astype(jnp.float32)
+
+    def fetch(i):
+        return jnp.sum(a[i] * onehot, axis=-1)
+
     return (
-        s00 * (1.0 - tx) * (1.0 - ty)
-        + s10 * tx * (1.0 - ty)
-        + s01 * (1.0 - tx) * ty
-        + s11 * tx * ty
+        fetch(i00) * (1.0 - tx) * (1.0 - ty)
+        + fetch(i10) * tx * (1.0 - ty)
+        + fetch(i01) * (1.0 - tx) * ty
+        + fetch(i11) * tx * ty
     )
 
 

@@ -52,7 +52,9 @@ def _stack_limit(pbvh: PackedBvh) -> int:
 # traversed at once; mapping over blocks bounds each block's cost by its own
 # worst lane (long-tailed divergence makes this a ~10x lever) and keeps the
 # loop carry (stack, best-hit state) small enough to live in VMEM.
-DEFAULT_BLOCK = 65536
+# Swept on v5e (hall 224K tris, 921K rays): 8192 beats 16384/32768/65536 on
+# both closest (423 vs 438/462/1168 ms) and any-hit (495 vs 546/990/2594).
+DEFAULT_BLOCK = 8192
 
 
 def _map_blocks(fn, args, R: int, block: int):
@@ -374,6 +376,46 @@ def traverse_any(pbvh: PackedBvh, orig, dir, t_min, t_max, mask):
     state = (cur, stack, sp, occluded)
     state = jax.lax.while_loop(cond, body, state)
     return state[3] & mask
+
+
+def ray_sort_perm(orig, dir, active):
+    """Permutation that groups rays for lockstep traversal: active lanes
+    first (dead lanes compact into blocks that exit after one iteration),
+    then by direction octant, then by 27-bit Morton code of the origin
+    (batch-adaptive quantization). Traversal cost per block is its WORST
+    lane's path length, so grouping similar rays is a direct lever; the
+    sort itself is ~0.13 ms at 921K keys on v5e (measured) — noise next to
+    a traversal pass. Returns (perm, inv): x_sorted = x[perm],
+    result_original = result_sorted[inv]."""
+    from chameleonrt_tpu.ops.lbvh import _expand_bits_10
+
+    R = orig.shape[0]
+    octant = (
+        (dir[:, 0] < 0).astype(jnp.uint32) * 4
+        + (dir[:, 1] < 0).astype(jnp.uint32) * 2
+        + (dir[:, 2] < 0).astype(jnp.uint32)
+    )
+    lo = jnp.min(orig, axis=0)
+    hi = jnp.max(orig, axis=0)
+    scale = 511.0 / jnp.maximum(hi - lo, 1e-20)
+    q = jnp.clip((orig - lo) * scale, 0.0, 511.0).astype(jnp.uint32)
+    morton = (
+        (_expand_bits_10(q[:, 0]) << jnp.uint32(2))
+        | (_expand_bits_10(q[:, 1]) << jnp.uint32(1))
+        | _expand_bits_10(q[:, 2])
+    )
+    key = (
+        ((~active).astype(jnp.uint32) << jnp.uint32(30))
+        | (octant << jnp.uint32(27))
+        | (morton & jnp.uint32(0x07FFFFFF))
+    )
+    perm = jnp.argsort(key)
+    inv = (
+        jnp.zeros((R,), jnp.int32)
+        .at[perm]
+        .set(jnp.arange(R, dtype=jnp.int32), unique_indices=True)
+    )
+    return perm, inv
 
 
 def traverse_closest_blocked(
