@@ -1,14 +1,18 @@
-"""Benchmark harness: Mrays/s on the Sponza-proxy scene at 1280x720.
+"""Benchmark harness: Mrays/s across the BASELINE.md config matrix.
 
 Mirrors the reference's `-benchmark-frames` protocol (main.cpp:162-163,
 293-297: render N frames at fixed camera, report average device-side
-ms/frame and rays/s; BASELINE.md north star: >= 100 Mrays/s/chip on Sponza
-1280x720). No scene assets ship in this environment, so the procedural
-`hall` scene (~280K tris, colonnade hall — Sponza-like occlusion and
-divergence) stands in for Sponza; see chameleonrt_tpu/scene/procedural.py.
+ms/frame and rays/s). BASELINE.md north star: >= 100 Mrays/s/chip on Sponza
+1280x720. No scene assets ship in this environment, so procedural stand-ins
+cover the eval configs (chameleonrt_tpu/scene/procedural.py):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-"""
+  sponza_proxy  textured colonnade hall, ~224K tris, 1280x720 (headline)
+  cornell       Cornell box, 512x512
+  instanced     instanced grid of parameterized meshes (TLAS-path config)
+  rungholt      6.7M-triangle soup (Rungholt-scale)
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+headline config, with every config's numbers under "detail"."""
 
 from __future__ import annotations
 
@@ -18,29 +22,33 @@ import time
 
 import numpy as np
 
+CONFIGS = [
+    # (name, scene url, width, height, frames, spp)
+    ("sponza_proxy", "proc://hall?subdiv=4&textured=1", 1280, 720, 4, 1),
+    ("cornell", "proc://cornell", 512, 512, 4, 1),
+    ("instanced", "proc://instances?nx=6&ny=6&subdiv=3", 1280, 720, 4, 1),
+    ("rungholt", "proc://random?n_tris=6700000&spread=12", 1280, 720, 2, 1),
+]
 
-def main() -> int:
-    import jax
+TIME_BUDGET_S = 1500.0  # soft cap: skip remaining configs past this
 
+
+def run_config(url, width, height, frames, spp, warmup=1):
     from chameleonrt_tpu.core import get_backend
     from chameleonrt_tpu.scene.loader import load_scene
 
-    width, height = 1280, 720
-    warmup, frames = 1, 4
-
-    # subdiv=4 -> ~224K tris + a diffuse texture, comparable to textured Sponza
-    scene = load_scene("proc://hall?subdiv=4")  # textured=1 faults the axon TPU compiler, see docs/STATUS.md
+    scene = load_scene(url)
     backend = get_backend("tpu")
     backend.initialize(width, height)
     t0 = time.perf_counter()
     backend.set_scene(scene)
     build_s = time.perf_counter() - t0
+    backend.samples_per_pixel = spp  # after set_scene (scene carries a default)
     cam = scene.cameras[0]
     d = cam.center - cam.position
     d = d / np.linalg.norm(d)
 
-    times = []
-    rays = []
+    times, rays = [], []
     for i in range(warmup + frames):
         st = backend.render(
             cam.position, d, cam.up, cam.fov_y,
@@ -53,21 +61,55 @@ def main() -> int:
 
     ms = float(np.mean(times))
     mrays = float(np.sum(rays) / (np.sum(times) / 1e3) / 1e6)
-    result = {
-        "metric": f"Mrays/s/chip (primary+shadow+secondary), Sponza-proxy hall {scene.unique_tris()//1000}K tris, 1280x720, 1 spp",
+    return {
+        "mrays_per_s": round(mrays, 3),
+        "ms_per_frame": round(ms, 2),
+        "fps": round(1000.0 / ms, 2) if ms > 0 else 0,
+        "rays_per_frame": int(np.mean(rays)),
+        "tris": scene.unique_tris(),
+        "spp": spp,
+        "res": f"{width}x{height}",
+        "scene_build_s": round(build_s, 2),
+    }
+
+
+def main() -> int:
+    import jax
+
+    start = time.perf_counter()
+    detail = {"device": jax.devices()[0].device_kind, "configs": {}}
+    headline = None
+    for name, url, w, h, frames, spp in CONFIGS:
+        if headline is not None and time.perf_counter() - start > TIME_BUDGET_S:
+            detail["configs"][name] = "skipped (time budget)"
+            continue
+        try:
+            r = run_config(url, w, h, frames, spp)
+            detail["configs"][name] = r
+            if headline is None:
+                headline = r
+        except Exception as e:  # noqa: BLE001
+            detail["configs"][name] = f"FAILED: {type(e).__name__}: {e}"
+
+    if headline is None:
+        print(json.dumps({
+            "metric": "Mrays/s/chip Sponza-proxy textured 1280x720",
+            "value": 0.0, "unit": "Mray/s", "vs_baseline": 0.0,
+            "detail": detail,
+        }))
+        return 1
+
+    mrays = headline["mrays_per_s"]
+    print(json.dumps({
+        "metric": (
+            "Mrays/s/chip (primary+shadow+secondary), Sponza-proxy textured "
+            f"hall {headline['tris']//1000}K tris, 1280x720, 1 spp"
+        ),
         "value": round(mrays, 2),
         "unit": "Mray/s",
         "vs_baseline": round(mrays / 100.0, 4),
-        "detail": {
-            "ms_per_frame": round(ms, 2),
-            "fps": round(1000.0 / ms, 2) if ms > 0 else 0,
-            "rays_per_frame": int(np.mean(rays)),
-            "tris": scene.unique_tris(),
-            "scene_build_s": round(build_s, 2),
-            "device": jax.devices()[0].device_kind,
-        },
-    }
-    print(json.dumps(result))
+        "detail": detail,
+    }))
     return 0
 
 

@@ -45,10 +45,23 @@ Options:
 \t-resume <state.npz>    Resume progressive accumulation from a checkpoint
 \t-checkpoint <state.npz> Save accumulation state after the last frame
 \t-profile <dir>         Capture a jax profiler trace of the render loop
+\t-display auto|ansi|none Live ANSI progressive preview (auto: on when
+\t                       stdout is a terminal and not benchmarking)
 """
 
 
 def parse_args(argv: List[str]):
+    try:
+        return _parse_args(argv)
+    except IndexError:
+        print("Error: flag is missing its argument(s)", file=sys.stderr)
+        return None
+    except ValueError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return None
+
+
+def _parse_args(argv: List[str]):
     opts = {
         "backend": None,
         "scene": None,
@@ -69,23 +82,33 @@ def parse_args(argv: List[str]):
         "resume": None,
         "checkpoint": None,
         "profile": None,
+        "display": "auto",
     }
     pos: List[str] = []
+
+    def vec3(i, flag):
+        """Arity-checked 3-vector flag value (clean CLI errors are a
+        claimed feature; the reference crashes on `-eye 1 2`)."""
+        vals = argv[i + 1 : i + 4]
+        if len(vals) < 3:
+            raise ValueError(f"{flag} expects 3 values, got {len(vals)}")
+        return np.array(vals, np.float32)
+
     i = 0
     while i < len(argv):
         a = argv[i]
         if a in ("-h", "--help"):
             return None
         if a == "-eye":
-            opts["eye"] = np.array(argv[i + 1 : i + 4], np.float32)
+            opts["eye"] = vec3(i, a)
             opts["got_camera_args"] = True
             i += 4
         elif a == "-center":
-            opts["center"] = np.array(argv[i + 1 : i + 4], np.float32)
+            opts["center"] = vec3(i, a)
             opts["got_camera_args"] = True
             i += 4
         elif a == "-up":
-            opts["up"] = np.array(argv[i + 1 : i + 4], np.float32)
+            opts["up"] = vec3(i, a)
             opts["got_camera_args"] = True
             i += 4
         elif a == "-fov":
@@ -128,6 +151,11 @@ def parse_args(argv: List[str]):
             i += 2
         elif a == "-profile":
             opts["profile"] = argv[i + 1]
+            i += 2
+        elif a == "-display":
+            if argv[i + 1] not in ("auto", "ansi", "none"):
+                raise ValueError("-display expects auto|ansi|none")
+            opts["display"] = argv[i + 1]
             i += 2
         elif not a.startswith("-"):
             pos.append(a)
@@ -211,6 +239,19 @@ def _main(argv: Optional[List[str]] = None) -> int:
         profiler_cm = jax.profiler.trace(opts["profile"])
         profiler_cm.__enter__()
 
+    # Live progressive preview (the reference presents every frame to its
+    # window, main.cpp:379): ANSI in-place refresh when on a terminal.
+    # Benchmarks leave it off unless explicitly requested (-display ansi).
+    live = None
+    if opts["display"] == "ansi" or (
+        opts["display"] == "auto"
+        and sys.stdout.isatty()
+        and not opts["benchmark_frames"]
+    ):
+        from chameleonrt_tpu.display import AnsiDisplay
+
+        live = AnsiDisplay(live=True)
+
     n_frames = opts["benchmark_frames"] or opts["frames"]
     render_times = []
     rays_per_sec = []
@@ -219,7 +260,9 @@ def _main(argv: Optional[List[str]] = None) -> int:
         stats = backend.render(
             eye, dir, up, fov,
             camera_changed=(frame == 0 and not opts["resume"]),
-            readback_framebuffer=opts["validation"] is not None or frame == n_frames - 1,
+            readback_framebuffer=opts["validation"] is not None
+            or live is not None
+            or frame == n_frames - 1,
         )
         render_times.append(stats.render_time)
         if stats.rays_per_second > 0:
@@ -227,7 +270,16 @@ def _main(argv: Optional[List[str]] = None) -> int:
         if opts["validation"]:
             name = f"{opts['validation']}{opts['backend']}-f{frame}.png"
             write_image(name, backend.img)
-        if frame == 0:
+        if live is not None:
+            live.display(
+                backend,
+                status=(
+                    f"frame {frame + 1}/{n_frames}  "
+                    f"{stats.render_time:.1f} ms/frame  "
+                    f"{pretty_print_count(stats.rays_per_second)}ray/s"
+                ),
+            )
+        if frame == 0 and live is None:
             print(f"frame 0 (incl. compile): {stats.render_time:.1f} ms")
     total = time.perf_counter() - app_t0
     if profiler_cm is not None:
@@ -271,7 +323,12 @@ def run_interactive(backend, eye, center, up, fov, opts) -> int:
     from chameleonrt_tpu.utils.arcball import ArcballCamera
 
     camera = ArcballCamera(eye, center, up)
-    ansi = AnsiDisplay()
+    # on a real terminal, refresh the preview live after every command that
+    # renders (the reference redraws its window each loop, main.cpp:379)
+    auto_show = opts.get("display") == "ansi" or (
+        opts.get("display") == "auto" and sys.stdout.isatty()
+    )
+    ansi = AnsiDisplay(live=auto_show)
     camera_changed = True
     last_stats = None
 
@@ -287,6 +344,8 @@ def run_interactive(backend, eye, center, up, fov, opts) -> int:
             )
             if camera_changed and k == 0:
                 camera_changed = False
+        if auto_show:
+            ansi.display(backend)
 
     print("interactive mode; type 'help' for commands", flush=True)
     for line in sys.stdin:
@@ -303,12 +362,18 @@ def run_interactive(backend, eye, center, up, fov, opts) -> int:
                 x0, y0, x1, y1 = map(float, args)
                 camera.rotate((x0, y0), (x1, y1))
                 camera_changed = True
+                if auto_show:
+                    render_frames(1)
             elif cmd == "pan":
                 camera.pan(tuple(map(float, args)))
                 camera_changed = True
+                if auto_show:
+                    render_frames(1)
             elif cmd == "zoom":
                 camera.zoom(float(args[0]))
                 camera_changed = True
+                if auto_show:
+                    render_frames(1)
             elif cmd == "frame":
                 render_frames(int(args[0]) if args else 1)
             elif cmd == "show":

@@ -62,16 +62,23 @@ class PngSequenceDisplay(Display):
 class AnsiDisplay(Display):
     """Terminal preview using 24-bit color half-block characters: two image
     rows per text row. The headless stand-in for the reference's windowed
-    displays."""
+    displays.
 
-    def __init__(self, max_cols: int = 100, stream=None):
+    With ``live=True`` each present rewinds the cursor over the previous
+    frame and redraws in place — progressive accumulation refreshes like
+    the reference's window does (main.cpp:231-380 frame loop), instead of
+    scrolling one dump per frame."""
+
+    def __init__(self, max_cols: int = 100, stream=None, live: bool = False):
         self.max_cols = max_cols
         self.stream = stream or sys.stdout
+        self.live = live
+        self._last_lines = 0
 
     def name(self) -> str:
         return "ANSI terminal"
 
-    def display(self, renderer: RenderBackend) -> None:
+    def display(self, renderer: RenderBackend, status: str = "") -> None:
         img = renderer.img[..., :3]
         h, w = img.shape[:2]
         step = max(1, (w + self.max_cols - 1) // self.max_cols)
@@ -79,6 +86,8 @@ class AnsiDisplay(Display):
         top = small[0::2]
         bottom = small[1::2]
         n = min(len(top), len(bottom))
+        if self.live and self._last_lines:
+            self.stream.write(f"\x1b[{self._last_lines}A\r")
         out = []
         for r in range(n):
             row = []
@@ -89,8 +98,13 @@ class AnsiDisplay(Display):
                     f"\x1b[38;2;{tr};{tg};{tb}m\x1b[48;2;{br};{bg};{bb}m▀"
                 )
             out.append("".join(row) + "\x1b[0m")
+        lines = n
+        if status:
+            out.append(f"\x1b[2K{status}")
+            lines += 1
         self.stream.write("\n".join(out) + "\n")
         self.stream.flush()
+        self._last_lines = lines
 
 
 def make_display(kind: str, **kwargs) -> Display:

@@ -22,7 +22,13 @@ import jax.numpy as jnp
 
 from chameleonrt_tpu.engine.device_scene import FlatScene, SceneMeta
 from chameleonrt_tpu.ops.intersect import Hit, T_MAX
-from chameleonrt_tpu.ops.lbvh import PackedBvh, build_bvh, pack_bvh, triangle_aabbs
+from chameleonrt_tpu.ops.lbvh import (
+    BlasPair,
+    PackedBvh,
+    build_bvh,
+    pack_bvh,
+    triangle_aabbs,
+)
 from chameleonrt_tpu.ops.math import EPSILON, transform_point, transform_vector
 from chameleonrt_tpu.ops.traverse import (
     ray_sort_perm,
@@ -55,15 +61,17 @@ def _pad_rows(a, n: int):
     return np.pad(a, ((0, n - a.shape[0]), (0, 0)))
 
 
-def build_blas_set(flat: FlatScene, meta: SceneMeta) -> Tuple[PackedBvh, ...]:
-    """Build one packed BVH per mesh over its triangle range (the set_scene
-    BLAS-build phase, reference render_optix.cpp:134-172, minus vendor
-    APIs). Leaf prim ids are LOCAL to the mesh range.
+def build_blas_set(flat: FlatScene, meta: SceneMeta) -> Tuple[BlasPair, ...]:
+    """Build one packed BVH pair per mesh over its triangle range (the
+    set_scene BLAS-build phase, reference render_optix.cpp:134-172, minus
+    vendor APIs). Leaf prim ids are LOCAL to the mesh range.
 
     Default path: host-side native binned-SAH build (native/bvhbuilder.cpp —
     the role of rtcCommitScene's SAH build, embree_utils.cpp:63-83) + one
-    upload; no device compile at all, and depth is hard-bounded below the
-    traversal stack. Fallback (native lib unavailable): on-device LBVH.
+    upload, emitting BOTH the binary layout (closest-hit) and the collapsed
+    BVH4 layout (occlusion) from the same tree; no device compile at all,
+    and stack need is certified below the traversal stack. Fallback (native
+    lib unavailable): on-device LBVH, binary layout for both slots.
 
     Row counts / triangle ranges are padded to bucketed sizes so the render
     graph compiles once per bucket instead of once per mesh size — fresh
@@ -84,21 +92,31 @@ def build_blas_set(flat: FlatScene, meta: SceneMeta) -> Tuple[PackedBvh, ...]:
                     np.asarray(flat.tri_e1),
                     np.asarray(flat.tri_e2),
                 )
-            res = native.build_bvh_native(
+            res = native.build_bvh_pair_native(
                 host_tris[0][start : start + count],
                 host_tris[1][start : start + count],
                 host_tris[2][start : start + count],
                 LEAF_SIZE,
             )
             if res is not None:
-                nodes, leaf_rows, depth = res
-                nodes = _pad_rows(nodes, _bucket_size(nodes.shape[0]))
-                leaf_rows = _pad_rows(leaf_rows, _bucket_size(leaf_rows.shape[0]))
+                nodes2, nodes4, leaf_rows, depth2, stack4 = res
+                nodes2 = _pad_rows(nodes2, _bucket_size(nodes2.shape[0]))
+                nodes4 = _pad_rows(nodes4, _bucket_size(nodes4.shape[0]))
+                leaf_rows = jnp.asarray(
+                    _pad_rows(leaf_rows, _bucket_size(leaf_rows.shape[0]))
+                )
                 blas.append(
-                    PackedBvh(
-                        nodes=jnp.asarray(nodes),
-                        leaf_rows=jnp.asarray(leaf_rows),
-                        max_depth=depth,
+                    BlasPair(
+                        closest=PackedBvh(
+                            nodes=jnp.asarray(nodes2),
+                            leaf_rows=leaf_rows,
+                            max_depth=depth2,
+                        ),
+                        any=PackedBvh(
+                            nodes=jnp.asarray(nodes4),
+                            leaf_rows=leaf_rows,
+                            max_depth=stack4,
+                        ),
                     )
                 )
                 continue
@@ -116,7 +134,8 @@ def build_blas_set(flat: FlatScene, meta: SceneMeta) -> Tuple[PackedBvh, ...]:
         v0 = flat.tri_v0[idx]
         e1 = flat.tri_e1[idx]
         e2 = flat.tri_e2[idx]
-        blas.append(jax.block_until_ready(build_jit(v0, e1, e2)))
+        packed = jax.block_until_ready(build_jit(v0, e1, e2))
+        blas.append(BlasPair(closest=packed, any=packed))
     return tuple(blas)
 
 
@@ -128,12 +147,24 @@ def compute_instance_aabbs(flat: FlatScene, meta: SceneMeta) -> jnp.ndarray:
 
     out = np.zeros((meta.num_instances, 6), np.float32)
     for inst_id, mesh_id in enumerate(meta.inst_mesh):
-        root = np.asarray(flat.blas[mesh_id].nodes[0])
-        lo = np.minimum(root[0:3], root[6:9])
-        hi = np.maximum(root[3:6], root[9:12])
-        # empty right box (single-leaf BVH) contributes inf/-inf; guard
-        lo = np.where(np.isfinite(lo), lo, np.minimum(root[0:3], root[3:6]))
-        hi = np.where(np.isfinite(hi), hi, np.maximum(root[0:3], root[3:6]))
+        pbvh = flat.blas[mesh_id].closest
+        root = np.asarray(pbvh.nodes[0])
+        # union the root row's child boxes, skipping empty slots (binary
+        # layout marks them inf/-inf; BVH4 marks them lo = hi = 1e30)
+        lo = np.full(3, np.inf, np.float32)
+        hi = np.full(3, -np.inf, np.float32)
+        for c in range(pbvh.arity):
+            clo = root[6 * c : 6 * c + 3]
+            chi = root[6 * c + 3 : 6 * c + 6]
+            if not np.isfinite(clo).all() or not np.isfinite(chi).all():
+                continue
+            if clo[0] >= 1e29 and chi[0] >= 1e29:
+                continue
+            lo = np.minimum(lo, clo)
+            hi = np.maximum(hi, chi)
+        if not np.isfinite(lo).all():  # single-leaf binary tree: only slot 0
+            lo = np.minimum(root[0:3], root[3:6])
+            hi = np.maximum(root[0:3], root[3:6])
         corners = np.array(
             [[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1]) for z in (lo[2], hi[2])],
             np.float32,
@@ -199,7 +230,7 @@ def make_trace_fns(meta: SceneMeta):
                 )
             o, d = _object_rays(flat, inst_id, orig, dir)
             t, prim, u, v = traverse_closest_blocked(
-                flat.blas[mesh_id],
+                flat.blas[mesh_id].closest,
                 o,
                 d,
                 jnp.broadcast_to(jnp.float32(t_min), o.shape[:1]),
@@ -247,7 +278,7 @@ def make_trace_fns(meta: SceneMeta):
                 )
             o, d = _object_rays(flat, inst_id, orig, dir)
             occluded = occluded | traverse_any_blocked(
-                flat.blas[mesh_id],
+                flat.blas[mesh_id].any,
                 o,
                 d,
                 jnp.broadcast_to(jnp.float32(EPSILON), o.shape[:1]),

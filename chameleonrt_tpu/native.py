@@ -94,6 +94,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.crt_bvh_max_depth.argtypes = [ctypes.c_void_p]
     lib.crt_bvh_nodes.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
     lib.crt_bvh_leaf_rows.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+    lib.crt_bvh_num_nodes4.restype = ctypes.c_int64
+    lib.crt_bvh_num_nodes4.argtypes = [ctypes.c_void_p]
+    lib.crt_bvh_max_stack4.restype = ctypes.c_int32
+    lib.crt_bvh_max_stack4.argtypes = [ctypes.c_void_p]
+    lib.crt_bvh_nodes4.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
     lib.crt_bvh_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
@@ -136,6 +141,64 @@ def build_bvh_native(v0, e1, e2, leaf_size: int):
         return nodes, leaf_rows, int(lib.crt_bvh_max_depth(handle))
     finally:
         lib.crt_bvh_free(handle)
+
+
+def build_bvh_pair_native(v0, e1, e2, leaf_size: int):
+    """One binned-SAH build, both packed layouts: the binary 16-float-row
+    table (closest-hit traversal: ordered near-first descent wins there)
+    and the collapsed BVH4 32-float-row table (occlusion traversal: ~half
+    the internal iterations win there; measured on v5e hall 224K tris,
+    any-hit 495 -> 376 ms while closest regressed 423 -> 500 with BVH4).
+    Returns (nodes2, nodes4, leaf_rows, depth2, max_stack4) numpy arrays /
+    ints, or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    v0 = np.ascontiguousarray(v0, np.float32)
+    e1 = np.ascontiguousarray(e1, np.float32)
+    e2 = np.ascontiguousarray(e2, np.float32)
+    n = v0.shape[0]
+    if n == 0:
+        return None
+    fptr = ctypes.POINTER(ctypes.c_float)
+    handle = lib.crt_bvh_build(
+        v0.ctypes.data_as(fptr),
+        e1.ctypes.data_as(fptr),
+        e2.ctypes.data_as(fptr),
+        n,
+        leaf_size,
+    )
+    if not handle:
+        return None
+    try:
+        n_internal = lib.crt_bvh_num_internal(handle)
+        n4 = lib.crt_bvh_num_nodes4(handle)
+        n_leaves = lib.crt_bvh_num_leaves(handle)
+        nodes2 = np.empty((n_internal, 16), np.float32)
+        nodes4 = np.empty((n4, 32), np.float32)
+        leaf_rows = np.empty((n_leaves, 10 * leaf_size), np.float32)
+        lib.crt_bvh_nodes(handle, nodes2.ctypes.data_as(fptr))
+        lib.crt_bvh_nodes4(handle, nodes4.ctypes.data_as(fptr))
+        lib.crt_bvh_leaf_rows(handle, leaf_rows.ctypes.data_as(fptr))
+        return (
+            nodes2,
+            nodes4,
+            leaf_rows,
+            int(lib.crt_bvh_max_depth(handle)),
+            int(lib.crt_bvh_max_stack4(handle)),
+        )
+    finally:
+        lib.crt_bvh_free(handle)
+
+
+def build_bvh4_native(v0, e1, e2, leaf_size: int):
+    """4-wide-only variant of build_bvh_pair_native. Returns (nodes4,
+    leaf_rows, max_stack) or None."""
+    res = build_bvh_pair_native(v0, e1, e2, leaf_size)
+    if res is None:
+        return None
+    _, nodes4, leaf_rows, _, max_stack4 = res
+    return nodes4, leaf_rows, max_stack4
 
 
 class NativeObjShape:

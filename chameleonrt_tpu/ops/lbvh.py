@@ -75,12 +75,19 @@ class PackedBvh:
 
     nodes: jnp.ndarray
     leaf_rows: jnp.ndarray
-    # Exact tree depth (static pytree aux, not a device array) when the
-    # builder can certify one (native SAH build); None for the on-device
-    # LBVH whose Karras hierarchy has no a-priori depth bound. Sizes the
-    # traversal short stack exactly, making overflow impossible by
-    # construction on the certified path.
+    # Certified worst-case traversal stack occupancy (static pytree aux,
+    # not a device array) when the builder can prove one: tree depth for
+    # the binary layout, the emit4 DP bound for the 4-wide layout. None for
+    # the on-device LBVH whose Karras hierarchy has no a-priori bound.
+    # Sizes the traversal short stack exactly, making overflow impossible
+    # by construction on the certified path.
     max_depth: Optional[int] = None
+
+    @property
+    def arity(self) -> int:
+        """Children per internal node row: 16-float rows pack 2 children
+        (both AABBs + codes), 32-float rows pack 4 (BVH4)."""
+        return 2 if self.nodes.shape[1] == 16 else 4
 
     def tree_flatten(self):
         return (self.nodes, self.leaf_rows), self.max_depth
@@ -96,6 +103,17 @@ class PackedBvh:
     @property
     def leaf_size(self) -> int:
         return self.leaf_rows.shape[1] // 10
+
+
+class BlasPair(NamedTuple):
+    """Two packed layouts of the SAME tree, specialized per traversal kind:
+    binary rows for closest-hit (ordered near-first descent pays off there),
+    4-wide rows for occlusion (fewer lockstep iterations win there). The
+    native builder emits both from one SAH build; the on-device LBVH
+    fallback uses its binary packing for both slots."""
+
+    closest: PackedBvh
+    any: PackedBvh
 
 
 def pack_bvh(bvh: Bvh, tri_v0, tri_e1, tri_e2) -> PackedBvh:

@@ -204,6 +204,82 @@ def _node_step(pbvh: PackedBvh, cur, orig, inv_dir, t_min, t_max):
     return hit_n, near_kid, kid_sum
 
 
+_BIG = jnp.float32(1e30)
+
+
+def _node_phase(pbvh: PackedBvh, cur, is_int, orig, inv_dir, t_min, t_max):
+    """Arity-generic internal-node phase. Returns (next_int, pushes):
+    next_int = nearest hit child code per lane (or _DONE), pushes = list of
+    (code, mask) in push order (farthest first, so pops run near-first)."""
+    if pbvh.arity == 2:
+        hit_n, near_kid, kid_sum = _node_step(pbvh, cur, orig, inv_dir, t_min, t_max)
+        both = is_int & (hit_n == 2)
+        one = is_int & (hit_n == 1)
+        far = kid_sum - near_kid
+        next_int = jnp.where(both, near_kid, jnp.where(one, kid_sum, _DONE))
+        return next_int, [(far, both)]
+    return _node_phase4(pbvh, cur, is_int, orig, inv_dir, t_min, t_max)
+
+
+def _node_phase4(pbvh: PackedBvh, cur, is_int, orig, inv_dir, t_min, t_max):
+    """BVH4 internal step: one (R, 32) row gather + 4 scalar-column slab
+    tests + a 5-comparator sorting network ordering hit children by entry
+    distance. Half the internal iterations of the binary layout for the
+    same gathered bytes per visited child."""
+    row = pbvh.nodes[jnp.clip(cur, 0, pbvh.nodes.shape[0] - 1)]
+    ox, oy, oz = orig[:, 0], orig[:, 1], orig[:, 2]
+    ix, iy, iz = inv_dir[:, 0], inv_dir[:, 1], inv_dir[:, 2]
+
+    def slab(c):
+        tx0 = (row[:, c + 0] - ox) * ix
+        tx1 = (row[:, c + 3] - ox) * ix
+        ty0 = (row[:, c + 1] - oy) * iy
+        ty1 = (row[:, c + 4] - oy) * iy
+        tz0 = (row[:, c + 2] - oz) * iz
+        tz1 = (row[:, c + 5] - oz) * iz
+        txn = jnp.minimum(tx0, tx1)
+        txf = jnp.maximum(tx0, tx1)
+        tyn = jnp.minimum(ty0, ty1)
+        tyf = jnp.maximum(ty0, ty1)
+        tzn = jnp.minimum(tz0, tz1)
+        tzf = jnp.maximum(tz0, tz1)
+        txn = jnp.where(jnp.isnan(txn), -jnp.inf, txn)
+        tyn = jnp.where(jnp.isnan(tyn), -jnp.inf, tyn)
+        tzn = jnp.where(jnp.isnan(tzn), -jnp.inf, tzn)
+        txf = jnp.where(jnp.isnan(txf), jnp.inf, txf)
+        tyf = jnp.where(jnp.isnan(tyf), jnp.inf, tyf)
+        tzf = jnp.where(jnp.isnan(tzf), jnp.inf, tzf)
+        entry = jnp.maximum(jnp.maximum(txn, tyn), jnp.maximum(tzn, t_min))
+        exit_ = jnp.minimum(jnp.minimum(txf, tyf), jnp.minimum(tzf, t_max))
+        return entry <= exit_, entry
+
+    keys = []
+    codes = []
+    for c in range(4):
+        hit_c, entry_c = slab(6 * c)
+        keys.append(jnp.where(hit_c & is_int, entry_c, _BIG))
+        codes.append(jax.lax.bitcast_convert_type(row[:, 24 + c], jnp.int32))
+
+    # sort the 4 (key, code) pairs ascending: Bose–Nelson network for n=4
+    def cswap(i, j):
+        swap = keys[i] > keys[j]
+        keys[i], keys[j] = (
+            jnp.where(swap, keys[j], keys[i]),
+            jnp.where(swap, keys[i], keys[j]),
+        )
+        codes[i], codes[j] = (
+            jnp.where(swap, codes[j], codes[i]),
+            jnp.where(swap, codes[i], codes[j]),
+        )
+
+    for i, j in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+        cswap(i, j)
+
+    next_int = jnp.where(keys[0] < _BIG, codes[0], _DONE)
+    pushes = [(codes[k], keys[k] < _BIG) for k in (3, 2, 1)]
+    return next_int, pushes
+
+
 def traverse_closest(pbvh: PackedBvh, orig, dir, t_min, active, t_max=None):
     """Closest-hit traversal over the packed BVH. Returns (t, prim, u, v)
     per lane with prim = -1 on miss."""
@@ -246,19 +322,17 @@ def traverse_closest(pbvh: PackedBvh, orig, dir, t_min, active, t_max=None):
         is_leaf = lane_on & (cur < 0)
         is_int = lane_on & (cur >= 0)
 
-        # ---- internal step: one fused row gather + (R,2) paired slab tests
-        hit_n, near_kid, kid_sum = _node_step(
-            pbvh, cur, orig, inv_dir, t_min, best_t
+        # ---- internal step: one fused row gather + slab tests of all
+        # children; hit children beyond the nearest are pushed far-first
+        next_int, pushes = _node_phase(
+            pbvh, cur, is_int, orig, inv_dir, t_min, best_t
         )
-        both = is_int & (hit_n == 2)
-        one = is_int & (hit_n == 1)
-        far = kid_sum - near_kid
-        next_int = jnp.where(both, near_kid, jnp.where(one, kid_sum, _DONE))
-        stack = jnp.where(
-            both[:, None] & (stack_iota == sp[:, None]), far[:, None], stack
-        )
-        ovf = ovf | (both & (sp >= limit - 1))
-        sp = jnp.where(both, jnp.minimum(sp + 1, limit - 1), sp)
+        for code, push in pushes:
+            stack = jnp.where(
+                push[:, None] & (stack_iota == sp[:, None]), code[:, None], stack
+            )
+            ovf = ovf | (push & (sp >= limit - 1))
+            sp = jnp.where(push, jnp.minimum(sp + 1, limit - 1), sp)
 
         # ---- leaf step: one fused row gather + rectangular MT
         leaf_id = jnp.where(is_leaf, -cur - 1, 0)
@@ -331,18 +405,15 @@ def traverse_any(pbvh: PackedBvh, orig, dir, t_min, t_max, mask):
         is_leaf = lane_on & (cur < 0)
         is_int = lane_on & (cur >= 0)
 
-        hit_n, near_kid, kid_sum = _node_step(pbvh, cur, orig, inv_dir, t_min, t_max)
-        both = is_int & (hit_n == 2)
-        one = is_int & (hit_n == 1)
-        far = kid_sum - near_kid
-        next_int = jnp.where(both, near_kid, jnp.where(one, kid_sum, _DONE))
-        stack = jnp.where(
-            both[:, None] & (stack_iota == sp[:, None]), far[:, None], stack
-        )
-        # overflow = conservatively report occluded (a visible artifact, not
-        # a silent light leak); unreachable on the certified SAH path
-        occluded = occluded | (both & (sp >= limit - 1))
-        sp = jnp.where(both, jnp.minimum(sp + 1, limit - 1), sp)
+        next_int, pushes = _node_phase(pbvh, cur, is_int, orig, inv_dir, t_min, t_max)
+        for code, push in pushes:
+            stack = jnp.where(
+                push[:, None] & (stack_iota == sp[:, None]), code[:, None], stack
+            )
+            # overflow = conservatively report occluded (a visible artifact,
+            # not a silent light leak); unreachable on the certified SAH path
+            occluded = occluded | (push & (sp >= limit - 1))
+            sp = jnp.where(push, jnp.minimum(sp + 1, limit - 1), sp)
 
         leaf_id = jnp.where(is_leaf, -cur - 1, 0)
         anyhit = _leaf_step_any(pbvh, leaf_id, orig, dir, t_min, t_max)

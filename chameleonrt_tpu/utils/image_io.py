@@ -1,4 +1,4 @@
-"""Texture/framebuffer image IO dispatch (PNG, TGA, BMP; JPEG unsupported).
+"""Texture/framebuffer image IO dispatch (PNG, TGA, BMP, baseline JPEG).
 
 Plays the role of the reference's stb_image/stb_image_write usage
 (util/material.cpp Image load, main.cpp:306-325 frame save).
@@ -97,6 +97,10 @@ def read_image(path: str) -> np.ndarray:
         return read_tga(path)
     if ext == ".bmp":
         return read_bmp(path)
+    if ext in (".jpg", ".jpeg"):
+        from chameleonrt_tpu.utils import jpeg
+
+        return jpeg.read_jpeg(path)
     raise ValueError(f"unsupported image format: {path}")
 
 

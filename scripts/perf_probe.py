@@ -39,8 +39,14 @@ def main() -> int:
     flat, meta = build_device_scene(scene)
     flat = flat._replace(blas=build_blas_set(flat, meta))
     print(f"scene build {time.perf_counter()-t0:.1f}s tris={scene.unique_tris()}", flush=True)
-    pbvh = flat.blas[0]
-    print(f"nodes {pbvh.nodes.shape} leaf_rows {pbvh.leaf_rows.shape}", flush=True)
+    pair = flat.blas[0]
+    pbvh = pair.closest
+    pbvh_any = pair.any
+    print(
+        f"nodes {pbvh.nodes.shape} any-nodes {pbvh_any.nodes.shape} "
+        f"leaf_rows {pbvh.leaf_rows.shape}",
+        flush=True,
+    )
 
     cam = scene.cameras[0]
     d = cam.center - cam.position
@@ -94,7 +100,7 @@ def main() -> int:
             mask = out[1] >= 0
             anyf = jax.jit(
                 lambda o, dd, tn, tm, m: traverse.traverse_any_blocked(
-                    pbvh, o, dd, tn, tm, m, block=block
+                    pbvh_any, o, dd, tn, tm, m, block=block
                 )
             )
             ms_a, occ = bench(anyf, hp, sd, t_min + 1e-4, dist, mask)

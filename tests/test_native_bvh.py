@@ -76,6 +76,79 @@ def test_boxes_contain_triangles():
     assert np.array_equal(got_v0x, v0[real, 0])
 
 
+def _walk4(nodes4, leaf_rows, L):
+    """Decode the packed BVH4 tree; returns (prims, max concurrent pushes
+    lower bound via DFS depth accounting)."""
+    prims = []
+    stack = [0]
+    visited = set()
+    while stack:
+        node = stack.pop()
+        assert node not in visited, "cycle in BVH4"
+        visited.add(node)
+        row = nodes4[node]
+        codes = row[24:28].view(np.int32)
+        for c in range(4):
+            lo = row[6 * c : 6 * c + 3]
+            hi = row[6 * c + 3 : 6 * c + 6]
+            if lo[0] >= 1e29 and hi[0] >= 1e29:
+                continue  # empty slot
+            k = int(codes[c])
+            if k >= 0:
+                assert k < nodes4.shape[0]
+                stack.append(k)
+            else:
+                ids = leaf_rows[-k - 1][9 * L : 10 * L].view(np.int32)
+                prims.extend(int(p) for p in ids if p >= 0)
+    return prims
+
+
+@pytest.mark.parametrize("n", [1, 3, 4, 5, 17, 1000, 20000])
+def test_bvh4_every_prim_once(n):
+    v0, e1, e2 = _random_tris(n, seed=11)
+    nodes4, leaf_rows, max_stack = native.build_bvh4_native(v0, e1, e2, LEAF_SIZE)
+    assert nodes4.shape[1] == 32
+    prims = _walk4(nodes4, leaf_rows, LEAF_SIZE)
+    assert sorted(prims) == list(range(n))
+    assert 1 <= max_stack <= 3 * 44 + 1
+
+
+def test_bvh4_traversal_matches_brute_force():
+    import jax.numpy as jnp
+
+    from chameleonrt_tpu.ops.intersect import brute_force_closest
+    from chameleonrt_tpu.ops.lbvh import PackedBvh
+    from chameleonrt_tpu.ops.traverse import traverse_any, traverse_closest
+
+    n = 5000
+    v0, e1, e2 = _random_tris(n, seed=5)
+    nodes4, leaf_rows, max_stack = native.build_bvh4_native(v0, e1, e2, LEAF_SIZE)
+    pbvh = PackedBvh(
+        nodes=jnp.asarray(nodes4), leaf_rows=jnp.asarray(leaf_rows), max_depth=max_stack
+    )
+    assert pbvh.arity == 4
+
+    r = np.random.default_rng(9)
+    R = 400
+    orig = jnp.asarray(r.uniform(-8, 8, (R, 3)).astype(np.float32))
+    d = r.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    t_min = jnp.zeros((R,), jnp.float32)
+    active = jnp.ones((R,), bool)
+
+    t, prim, u, v = traverse_closest(pbvh, orig, d, t_min, active)
+    bt, btri, bu, bv = brute_force_closest(orig, d, jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2))
+    np.testing.assert_allclose(np.asarray(t), np.asarray(bt), rtol=1e-4, atol=1e-5)
+    assert ((np.asarray(prim) >= 0) == (np.asarray(btri) >= 0)).all()
+
+    occ = traverse_any(
+        pbvh, orig, d, t_min, jnp.full((R,), 3.0, jnp.float32), active
+    )
+    has_near = np.asarray(bt) < 3.0
+    np.testing.assert_array_equal(np.asarray(occ), has_near)
+
+
 def test_identical_centroids_terminate():
     # all triangles identical: SAH has no split; median fallback must
     # terminate and still emit every prim once
