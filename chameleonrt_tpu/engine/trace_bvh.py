@@ -25,6 +25,8 @@ from chameleonrt_tpu.ops.intersect import Hit, T_MAX
 from chameleonrt_tpu.ops.lbvh import (
     BlasPair,
     PackedBvh,
+    UnifiedBvh,
+    UnifiedPair,
     build_bvh,
     pack_bvh,
     triangle_aabbs,
@@ -80,6 +82,11 @@ def build_blas_set(flat: FlatScene, meta: SceneMeta) -> Tuple[BlasPair, ...]:
 
     from chameleonrt_tpu import native
     from chameleonrt_tpu.ops.lbvh import LEAF_SIZE
+
+    if meta.num_instances > 1:
+        unified = build_unified_set(flat, meta)
+        if unified is not None:
+            return (unified,)
 
     build_jit = None
     blas = []
@@ -139,11 +146,180 @@ def build_blas_set(flat: FlatScene, meta: SceneMeta) -> Tuple[BlasPair, ...]:
     return tuple(blas)
 
 
+def _rebase_codes(nodes: "np.ndarray", arity: int, node_off: int, leaf_map):
+    """Rebase child codes of a packed node table in place: internal codes
+    shift by node_off; leaf codes c < 0 map through leaf_map(leaf_id)."""
+    import numpy as np
+
+    cols = slice(12, 14) if arity == 2 else slice(24, 28)
+    codes = nodes[:, cols].view(np.int32)
+    internal = codes >= 0
+    codes[internal] += node_off
+    leaves = ~internal
+    codes[leaves] = leaf_map(-codes[leaves] - 1)
+    nodes[:, cols] = codes.view(np.float32)
+
+
+def build_unified_set(flat: FlatScene, meta: SceneMeta):
+    """Assemble the two-level UnifiedBvh pair for a multi-instance scene:
+    native SAH BLAS per mesh + native SAH TLAS over instance world AABBs
+    (leaf_size=1, built over degenerate 'box triangles'), all fused into
+    one node table + one leaf table per traversal kind. Returns a
+    UnifiedPair, or None when the native builder is unavailable (callers
+    fall back to the unrolled per-instance loop). Role: the reference's
+    TopLevelBVH build (embree_utils.cpp:121-136, render_optix.cpp:216-225)."""
+    import numpy as np
+
+    from chameleonrt_tpu import native
+    from chameleonrt_tpu.ops.lbvh import LEAF_SIZE
+
+    if native.get_lib() is None:
+        return None
+
+    v0 = np.asarray(flat.tri_v0)
+    e1 = np.asarray(flat.tri_e1)
+    e2 = np.asarray(flat.tri_e2)
+
+    # --- per-mesh BLAS builds
+    mesh_parts = []  # (nodes2, nodes4, leaf_rows, depth2, stack4)
+    for start, count in meta.mesh_tri_ranges:
+        if count == 0:
+            mesh_parts.append(None)
+            continue
+        res = native.build_bvh_pair_native(
+            v0[start : start + count],
+            e1[start : start + count],
+            e2[start : start + count],
+            LEAF_SIZE,
+        )
+        if res is None:
+            return None
+        nodes2, nodes4, leaf_rows, depth2, stack4 = res
+        leaf_rows = leaf_rows.copy()
+        # globalize triangle ids
+        ids = leaf_rows[:, 9 * LEAF_SIZE : 10 * LEAF_SIZE].view(np.int32)
+        ids[ids >= 0] += start
+        mesh_parts.append((nodes2.copy(), nodes4.copy(), leaf_rows, depth2, stack4))
+
+    # --- concatenate BLAS tables with offsets
+    out = {}
+    I = meta.num_instances
+    leaf_rows_cat = []
+    leaf_off = []
+    off = 0
+    for part in mesh_parts:
+        leaf_off.append(off)
+        if part is not None:
+            leaf_rows_cat.append(part[2])
+            off += part[2].shape[0]
+    n_tri_leaves = off
+
+    # instance AABBs from per-mesh root boxes pushed through transforms
+    inst_tf = np.asarray(flat.inst_transform)
+    inst_inv = np.asarray(flat.inst_inv)
+    inst_aabb = np.zeros((I, 6), np.float32)
+    for i, mesh_id in enumerate(meta.inst_mesh):
+        part = mesh_parts[mesh_id]
+        root = part[0][0]
+        lo = np.minimum(root[0:3], root[6:9])
+        hi = np.maximum(root[3:6], root[9:12])
+        lo = np.where(np.isfinite(lo), lo, np.minimum(root[0:3], root[3:6]))
+        hi = np.where(np.isfinite(hi), hi, np.maximum(root[0:3], root[3:6]))
+        corners = np.array(
+            [
+                [x, y, z]
+                for x in (lo[0], hi[0])
+                for y in (lo[1], hi[1])
+                for z in (lo[2], hi[2])
+            ],
+            np.float32,
+        )
+        m = inst_tf[i]
+        wc = corners @ m[:3, :3].T + m[:3, 3]
+        inst_aabb[i, 0:3] = wc.min(axis=0)
+        inst_aabb[i, 3:6] = wc.max(axis=0)
+
+    # instance-entry leaf rows (appended after all triangle leaves)
+    ent = np.zeros((I, 10 * LEAF_SIZE), np.float32)
+    for i, mesh_id in enumerate(meta.inst_mesh):
+        ent[i, 0:12] = inst_inv[i][:3, :].reshape(12)
+        ent[i, 13] = np.int32(i).view(np.float32)
+    # ent[:, 12] (BLAS root) is filled per arity below
+
+    # TLAS over instance boxes: degenerate triangles v0=lo, e1=hi-lo, e2=0
+    tres = native.build_bvh_pair_native(
+        inst_aabb[:, 0:3],
+        inst_aabb[:, 3:6] - inst_aabb[:, 0:3],
+        np.zeros((I, 3), np.float32),
+        1,
+    )
+    if tres is None:
+        return None
+    tnodes2, tnodes4, tleaf, tdepth2, tstack4 = tres
+    tleaf_inst = tleaf[:, 9].view(np.int32)  # TLAS leaf k -> instance id
+
+    for arity, nsel, tnodes, tstack in (
+        (2, 0, tnodes2.copy(), tdepth2),
+        (4, 1, tnodes4.copy(), tstack4),
+    ):
+        node_cat = []
+        node_off = []
+        off = 0
+        for mi, part in enumerate(mesh_parts):
+            node_off.append(off)
+            if part is not None:
+                tbl = part[nsel].copy()
+                # rebase this mesh's child codes into the unified namespace
+                _rebase_codes(
+                    tbl,
+                    arity,
+                    off,
+                    lambda leaf_ids, base=leaf_off[mi]: -(leaf_ids + base) - 1,
+                )
+                node_cat.append(tbl)
+                off += tbl.shape[0]
+        tlas_lo = off
+
+        # rebase TLAS codes: internals shift to tlas_lo; leaves -> instance
+        # entries at n_tri_leaves + instance id
+        def tlas_leaf_map(leaf_ids):
+            import numpy as np
+
+            inst = tleaf_inst[leaf_ids]
+            return -(n_tri_leaves + inst) - 1
+
+        _rebase_codes(tnodes, arity, tlas_lo, tlas_leaf_map)
+
+        nodes_all = np.concatenate(node_cat + [tnodes], axis=0)
+        ent_a = ent.copy()
+        for i, mesh_id in enumerate(meta.inst_mesh):
+            ent_a[i, 12] = np.int32(node_off[mesh_id]).view(np.float32)
+        leaf_all = np.concatenate(leaf_rows_cat + [ent_a], axis=0)
+
+        blas_depth = max(p[3] if arity == 2 else p[4] for p in mesh_parts if p)
+        stack_bound = int(tstack) + int(blas_depth) + 2
+
+        out[arity] = UnifiedBvh(
+            nodes=jnp.asarray(_pad_rows(nodes_all, _bucket_size(nodes_all.shape[0]))),
+            leaf_rows=jnp.asarray(
+                _pad_rows(leaf_all, _bucket_size(leaf_all.shape[0]))
+            ),
+            n_tri_leaves=n_tri_leaves,
+            tlas_lo=tlas_lo,
+            stack_bound=stack_bound,
+        )
+
+    return UnifiedPair(closest=out[2], any=out[4], inst_aabb=jnp.asarray(inst_aabb))
+
+
 def compute_instance_aabbs(flat: FlatScene, meta: SceneMeta) -> jnp.ndarray:
     """World-space AABB per instance (I, 6): the BLAS root box (union of the
     packed root row's two child boxes) pushed through the instance transform
     via its 8 corners. Used for per-ray instance culling."""
     import numpy as np
+
+    if flat.blas and isinstance(flat.blas[0], UnifiedPair):
+        return flat.blas[0].inst_aabb
 
     out = np.zeros((meta.num_instances, 6), np.float32)
     for inst_id, mesh_id in enumerate(meta.inst_mesh):
@@ -215,6 +391,8 @@ def make_trace_fns(meta: SceneMeta):
         # Sort the wavefront (active-first, octant, origin Morton) so each
         # lockstep block sees similar rays and dead blocks exit immediately;
         # results are unsorted at the end (bit-identical images).
+        if flat.blas and isinstance(flat.blas[0], UnifiedPair):
+            return _trace_closest_unified(flat, orig, dir, t_min, active)
         perm, inv_perm = ray_sort_perm(orig, dir, active)
         orig, dir, active = orig[perm], dir[perm], active[perm]
         best = Hit.none(orig.shape[:1])
@@ -262,7 +440,32 @@ def make_trace_fns(meta: SceneMeta):
         )
         return Hit(*(f[inv_perm] for f in sorted_hit))
 
+    def _trace_closest_unified(flat: FlatScene, orig, dir, t_min, active):
+        from chameleonrt_tpu.ops.traverse import traverse_closest_unified_blocked
+
+        perm, inv_perm = ray_sort_perm(orig, dir, active)
+        orig_s, dir_s, active_s = orig[perm], dir[perm], active[perm]
+        t, prim, inst, u, v = traverse_closest_unified_blocked(
+            flat.blas[0].closest,
+            orig_s,
+            dir_s,
+            jnp.broadcast_to(jnp.float32(t_min), orig_s.shape[:1]),
+            active_s,
+        )
+        found = active_s & (prim >= 0)
+        ovf = active_s & (prim == -2)
+        hit = Hit(
+            t=jnp.where(found, t, T_MAX),
+            tri=jnp.where(found, prim, jnp.where(ovf, -2, -1)),
+            inst=jnp.where(found, inst, -1),
+            u=u,
+            v=v,
+        )
+        return Hit(*(f[inv_perm] for f in hit))
+
     def trace_any(flat: FlatScene, orig, dir, t_max, mask):
+        if flat.blas and isinstance(flat.blas[0], UnifiedPair):
+            return _trace_any_unified(flat, orig, dir, t_max, mask)
         perm, inv_perm = ray_sort_perm(orig, dir, mask)
         orig, dir, mask = orig[perm], dir[perm], mask[perm]
         t_max = jnp.broadcast_to(t_max, orig.shape[:1])[perm]
@@ -286,5 +489,21 @@ def make_trace_fns(meta: SceneMeta):
                 inst_mask,
             )
         return (occluded & mask)[inv_perm]
+
+    def _trace_any_unified(flat: FlatScene, orig, dir, t_max, mask):
+        from chameleonrt_tpu.ops.traverse import traverse_any_unified_blocked
+
+        perm, inv_perm = ray_sort_perm(orig, dir, mask)
+        orig_s, dir_s, mask_s = orig[perm], dir[perm], mask[perm]
+        t_max_s = jnp.broadcast_to(t_max, orig.shape[:1])[perm]
+        occ = traverse_any_unified_blocked(
+            flat.blas[0].any,
+            orig_s,
+            dir_s,
+            jnp.broadcast_to(jnp.float32(EPSILON), orig_s.shape[:1]),
+            t_max_s,
+            mask_s,
+        )
+        return (occ & mask_s)[inv_perm]
 
     return trace_closest, trace_any

@@ -105,6 +105,60 @@ class PackedBvh:
         return self.leaf_rows.shape[1] // 10
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class UnifiedBvh:
+    """Two-level (TLAS + all BLASes) acceleration structure fused into ONE
+    node table and ONE leaf table, so multi-instance scenes traverse in a
+    single lockstep launch regardless of instance count (the role of the
+    reference's TopLevelBVH, backends/embree/embree_utils.cpp:121-136).
+
+    - ``nodes``: all BLAS internal rows (rebased), then all TLAS internal
+      rows starting at row ``tlas_lo``. Same row layouts as PackedBvh
+      (16-float binary / 32-float BVH4).
+    - ``leaf_rows``: all BLAS triangle leaves (prim ids already global),
+      then one INSTANCE ENTRY row per instance at leaf id
+      >= ``n_tri_leaves``: cols [0:12) = world-to-object 3x4 inverse
+      transform (row-major), col 12 = that instance's BLAS root node id
+      (bitcast), col 13 = instance id (bitcast); padded to leaf width.
+      One gather serves both interpretations — a lane at a triangle leaf
+      reads component-major MT data, a lane at an instance entry reads the
+      transform + root and jumps into the BLAS in object space.
+    - leaf codes < -(n_tri_leaves) therefore mean "enter instance".
+
+    Traversal nesting note: stack entries pushed inside an instance's BLAS
+    always pop before the TLAS entries beneath them (LIFO), so a lane's
+    object-space ray registers stay valid until it returns to TLAS rows,
+    where the world-space ray is restored (t is world-parameterized in
+    both spaces because object directions are NOT renormalized).
+    """
+
+    nodes: jnp.ndarray
+    leaf_rows: jnp.ndarray
+    n_tri_leaves: int = 0
+    tlas_lo: int = 0
+    stack_bound: Optional[int] = None
+
+    def tree_flatten(self):
+        return (self.nodes, self.leaf_rows), (
+            self.n_tri_leaves,
+            self.tlas_lo,
+            self.stack_bound,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
+
+    @property
+    def arity(self) -> int:
+        return 2 if self.nodes.shape[1] == 16 else 4
+
+    @property
+    def leaf_size(self) -> int:
+        return self.leaf_rows.shape[1] // 10
+
+
 class BlasPair(NamedTuple):
     """Two packed layouts of the SAME tree, specialized per traversal kind:
     binary rows for closest-hit (ordered near-first descent pays off there),
@@ -114,6 +168,17 @@ class BlasPair(NamedTuple):
 
     closest: PackedBvh
     any: PackedBvh
+
+
+class UnifiedPair(NamedTuple):
+    """UnifiedBvh pair (closest = binary rows, any = BVH4 rows) for
+    multi-instance scenes, plus the instance world AABBs computed during
+    TLAS assembly (kept for stats/debug; traversal itself culls via the
+    TLAS boxes)."""
+
+    closest: UnifiedBvh
+    any: UnifiedBvh
+    inst_aabb: jnp.ndarray
 
 
 def pack_bvh(bvh: Bvh, tri_v0, tri_e1, tri_e2) -> PackedBvh:

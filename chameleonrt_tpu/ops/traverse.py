@@ -91,8 +91,12 @@ def _mt_core(pbvh: PackedBvh, leaf_id, orig, dir, t_min, t_max):
     relayouts (~30us and ~1ms respectively per op at R=57K); contiguous
     block slices, (R, L) elementwise math, and minor-dim reductions are
     effectively free — the whole step costs its gather."""
-    L = pbvh.leaf_size
     rows = pbvh.leaf_rows[leaf_id]  # (R, 10L), component-major
+    return _mt_rows(rows, pbvh.leaf_size, orig, dir, t_min, t_max)
+
+
+def _mt_rows(rows, L, orig, dir, t_min, t_max):
+    """MT over pre-gathered component-major leaf rows (see _mt_core)."""
 
     def g(c):
         return rows[:, c * L : (c + 1) * L]
@@ -132,8 +136,12 @@ def _mt_core(pbvh: PackedBvh, leaf_id, orig, dir, t_min, t_max):
 def _leaf_step(pbvh: PackedBvh, leaf_id, orig, dir, t_min, t_max):
     """Closest-hit leaf intersection: MT core + reduction-based closest-slot
     selection. Returns (t, prim, u, v, anyhit): t=T_MAX / prim=-1 on miss."""
-    L = pbvh.leaf_size
     hit, t, u, v, prim = _mt_core(pbvh, leaf_id, orig, dir, t_min, t_max)
+    return _select_closest(hit, t, u, v, prim, pbvh.leaf_size)
+
+
+def _select_closest(hit, t, u, v, prim, L):
+    """Reduction-based closest-slot selection over (R, L) MT results."""
     t = jnp.where(hit, t, T_MAX)
     best_t = jnp.min(t, axis=1)
     # slot selection purely via reductions (ties resolve to the highest slot)
@@ -447,6 +455,280 @@ def traverse_any(pbvh: PackedBvh, orig, dir, t_min, t_max, mask):
     state = (cur, stack, sp, occluded)
     state = jax.lax.while_loop(cond, body, state)
     return state[3] & mask
+
+
+def _unified_stack_limit(ubvh) -> int:
+    if ubvh.stack_bound is not None:
+        return max(2, min(STACK_DEPTH * 2, ubvh.stack_bound + 1))
+    return STACK_DEPTH
+
+
+def _instance_entry(rows, orig, dir):
+    """Decode instance-entry leaf rows (UnifiedBvh.leaf_rows layout): apply
+    the 3x4 world-to-object transform to the WORLD ray and return
+    (o_obj, d_obj, blas_root, inst_id). Uses width-1 (R, 1) BLOCK slices of
+    the gathered row (the measured-fast slice family), never scalar column
+    extracts. Directions are NOT renormalized so object t == world t."""
+
+    def col(k):
+        return rows[:, k : k + 1]
+
+    ox, oy, oz = orig[:, 0:1], orig[:, 1:2], orig[:, 2:3]
+    dx, dy, dz = dir[:, 0:1], dir[:, 1:2], dir[:, 2:3]
+    o_obj = jnp.concatenate(
+        [
+            col(0) * ox + col(1) * oy + col(2) * oz + col(3),
+            col(4) * ox + col(5) * oy + col(6) * oz + col(7),
+            col(8) * ox + col(9) * oy + col(10) * oz + col(11),
+        ],
+        axis=1,
+    )
+    d_obj = jnp.concatenate(
+        [
+            col(0) * dx + col(1) * dy + col(2) * dz,
+            col(4) * dx + col(5) * dy + col(6) * dz,
+            col(8) * dx + col(9) * dy + col(10) * dz,
+        ],
+        axis=1,
+    )
+    blas_root = jax.lax.bitcast_convert_type(rows[:, 12], jnp.int32)
+    inst_id = jax.lax.bitcast_convert_type(rows[:, 13], jnp.int32)
+    return o_obj, d_obj, blas_root, inst_id
+
+
+def traverse_closest_unified(ubvh, orig, dir, t_min, active, t_max=None):
+    """Closest-hit traversal of a UnifiedBvh (TLAS + all BLASes in one
+    table): ONE lockstep launch regardless of instance count — the role of
+    the reference's TopLevelBVH traversal (rtcIntersectV over the
+    instanced scene, backends/embree/embree_utils.cpp:121-136).
+
+    Returns (t, prim, inst, u, v) with prim = -1 on miss, -2 on stack
+    overflow (uncertified builds only). Lane space registers hold the
+    current instance's object-space ray while inside a BLAS; LIFO stack
+    nesting guarantees they stay valid until the lane returns to TLAS rows
+    (node ids >= ubvh.tlas_lo), where the world ray is restored."""
+    R = orig.shape[0]
+    L = ubvh.leaf_size
+    n_tri = ubvh.n_tri_leaves
+    tlas_lo = ubvh.tlas_lo
+
+    best_t = jnp.full((R,), T_MAX, jnp.float32)
+    if t_max is not None:
+        best_t = jnp.minimum(best_t, t_max)
+    best_prim = jnp.full((R,), -1, jnp.int32)
+    best_inst = jnp.full((R,), -1, jnp.int32)
+    best_u = jnp.zeros((R,), jnp.float32)
+    best_v = jnp.zeros((R,), jnp.float32)
+
+    limit = _unified_stack_limit(ubvh)
+    stack = jnp.full((R, limit), _DONE, jnp.int32)
+    sp = jnp.zeros((R,), jnp.int32)
+    cur = jnp.where(active, tlas_lo, _DONE)  # TLAS root row
+    ovf = jnp.zeros((R,), bool)
+    stack_iota = jnp.arange(limit, dtype=jnp.int32)[None, :]
+
+    o_cur = orig
+    d_cur = dir
+    inst_reg = jnp.zeros((R,), jnp.int32)
+
+    def cond(state):
+        return jnp.any(state[0] != _DONE)
+
+    def step(state):
+        (cur, stack, sp, ovf, o_cur, d_cur, inst_reg,
+         best_t, best_prim, best_inst, best_u, best_v) = state
+        lane_on = cur != _DONE
+        leaf_code = -cur - 1
+        is_leaf = lane_on & (cur < 0)
+        is_tri = is_leaf & (leaf_code < n_tri)
+        is_entry = is_leaf & (leaf_code >= n_tri)
+        is_int = lane_on & (cur >= 0)
+        inv_cur = 1.0 / d_cur
+
+        # ---- internal step (TLAS and BLAS rows share the table)
+        next_int, pushes = _node_phase(
+            ubvh, cur, is_int, o_cur, inv_cur, t_min, best_t
+        )
+        for code, push in pushes:
+            stack = jnp.where(
+                push[:, None] & (stack_iota == sp[:, None]), code[:, None], stack
+            )
+            ovf = ovf | (push & (sp >= limit - 1))
+            sp = jnp.where(push, jnp.minimum(sp + 1, limit - 1), sp)
+
+        # ---- ONE leaf-table gather, two interpretations
+        leaf_id = jnp.where(is_leaf, leaf_code, 0)
+        rows = ubvh.leaf_rows[jnp.clip(leaf_id, 0, ubvh.leaf_rows.shape[0] - 1)]
+
+        # triangle leaves: rectangular MT + closest-slot selection
+        hit, t, u, v, prim = _mt_rows(rows, L, o_cur, d_cur, t_min, best_t)
+        lt_t, lt_prim, lt_u, lt_v, _ = _select_closest(hit, t, u, v, prim, L)
+        take = is_tri & (lt_t < best_t)
+        best_t = jnp.where(take, lt_t, best_t)
+        best_prim = jnp.where(take, lt_prim, best_prim)
+        best_inst = jnp.where(take, inst_reg, best_inst)
+        best_u = jnp.where(take, lt_u, best_u)
+        best_v = jnp.where(take, lt_v, best_v)
+
+        # instance entries: transform the WORLD ray, jump to the BLAS root
+        o_ent, d_ent, blas_root, ent_inst = _instance_entry(rows, orig, dir)
+
+        # ---- advance
+        want_pop = (is_tri | (is_int & (next_int == _DONE))) & lane_on
+        can_pop = want_pop & (sp > 0)
+        sp = jnp.where(can_pop, sp - 1, sp)
+        pop_mask = stack_iota == jnp.maximum(sp, 0)[:, None]
+        popped = jnp.min(jnp.where(pop_mask, stack, _DONE), axis=1)
+        cur = jnp.where(
+            is_entry,
+            blas_root,
+            jnp.where(
+                is_int & (next_int != _DONE),
+                next_int,
+                jnp.where(can_pop, popped, _DONE),
+            ),
+        )
+
+        # ---- space registers for the NEW cur
+        inst_reg = jnp.where(is_entry, ent_inst, inst_reg)
+        o_cur = jnp.where(is_entry[:, None], o_ent, o_cur)
+        d_cur = jnp.where(is_entry[:, None], d_ent, d_cur)
+        back_to_world = (cur >= tlas_lo) | ((cur < 0) & (-cur - 1 >= n_tri))
+        o_cur = jnp.where(back_to_world[:, None], orig, o_cur)
+        d_cur = jnp.where(back_to_world[:, None], dir, d_cur)
+        return (cur, stack, sp, ovf, o_cur, d_cur, inst_reg,
+                best_t, best_prim, best_inst, best_u, best_v)
+
+    def body(state):
+        for _ in range(UNROLL):
+            state = step(state)
+        return state
+
+    state = (cur, stack, sp, ovf, o_cur, d_cur, inst_reg,
+             best_t, best_prim, best_inst, best_u, best_v)
+    state = jax.lax.while_loop(cond, body, state)
+    ovf = state[3]
+    best_t, best_prim, best_inst, best_u, best_v = state[7:]
+    best_prim = jnp.where(ovf, -2, best_prim)
+    miss = best_prim < 0
+    return (
+        jnp.where(miss, T_MAX, best_t),
+        best_prim,
+        jnp.where(miss, -1, best_inst),
+        best_u,
+        best_v,
+    )
+
+
+def traverse_any_unified(ubvh, orig, dir, t_min, t_max, mask):
+    """Any-hit (occlusion) traversal of a UnifiedBvh with per-lane
+    early-out. Returns (R,) bool occluded (conservatively True on stack
+    overflow, uncertified builds only)."""
+    R = orig.shape[0]
+    L = ubvh.leaf_size
+    n_tri = ubvh.n_tri_leaves
+    tlas_lo = ubvh.tlas_lo
+
+    limit = _unified_stack_limit(ubvh)
+    stack = jnp.full((R, limit), _DONE, jnp.int32)
+    sp = jnp.zeros((R,), jnp.int32)
+    cur = jnp.where(mask, tlas_lo, _DONE)
+    occluded = jnp.zeros((R,), bool)
+    stack_iota = jnp.arange(limit, dtype=jnp.int32)[None, :]
+    o_cur = orig
+    d_cur = dir
+
+    def cond(state):
+        return jnp.any(state[0] != _DONE)
+
+    def step(state):
+        cur, stack, sp, occluded, o_cur, d_cur = state
+        lane_on = cur != _DONE
+        leaf_code = -cur - 1
+        is_leaf = lane_on & (cur < 0)
+        is_tri = is_leaf & (leaf_code < n_tri)
+        is_entry = is_leaf & (leaf_code >= n_tri)
+        is_int = lane_on & (cur >= 0)
+        inv_cur = 1.0 / d_cur
+
+        next_int, pushes = _node_phase(ubvh, cur, is_int, o_cur, inv_cur, t_min, t_max)
+        for code, push in pushes:
+            stack = jnp.where(
+                push[:, None] & (stack_iota == sp[:, None]), code[:, None], stack
+            )
+            occluded = occluded | (push & (sp >= limit - 1))
+            sp = jnp.where(push, jnp.minimum(sp + 1, limit - 1), sp)
+
+        leaf_id = jnp.where(is_leaf, leaf_code, 0)
+        rows = ubvh.leaf_rows[jnp.clip(leaf_id, 0, ubvh.leaf_rows.shape[0] - 1)]
+        hit, _, _, _, _ = _mt_rows(rows, L, o_cur, d_cur, t_min, t_max)
+        occluded = occluded | (is_tri & jnp.any(hit, axis=1))
+
+        o_ent, d_ent, blas_root, _ = _instance_entry(rows, orig, dir)
+
+        done_lane = occluded
+        want_pop = (is_tri | (is_int & (next_int == _DONE))) & lane_on & ~done_lane
+        can_pop = want_pop & (sp > 0)
+        sp = jnp.where(can_pop, sp - 1, sp)
+        pop_mask = stack_iota == jnp.maximum(sp, 0)[:, None]
+        popped = jnp.min(jnp.where(pop_mask, stack, _DONE), axis=1)
+        cur = jnp.where(
+            done_lane,
+            _DONE,
+            jnp.where(
+                is_entry,
+                blas_root,
+                jnp.where(
+                    is_int & (next_int != _DONE),
+                    next_int,
+                    jnp.where(can_pop, popped, _DONE),
+                ),
+            ),
+        )
+        o_cur = jnp.where(is_entry[:, None], o_ent, o_cur)
+        d_cur = jnp.where(is_entry[:, None], d_ent, d_cur)
+        back_to_world = (cur >= tlas_lo) | ((cur < 0) & (-cur - 1 >= n_tri))
+        o_cur = jnp.where(back_to_world[:, None], orig, o_cur)
+        d_cur = jnp.where(back_to_world[:, None], dir, d_cur)
+        return cur, stack, sp, occluded, o_cur, d_cur
+
+    def body(state):
+        for _ in range(UNROLL):
+            state = step(state)
+        return state
+
+    state = (cur, stack, sp, occluded, o_cur, d_cur)
+    state = jax.lax.while_loop(cond, body, state)
+    return state[3] & mask
+
+
+def traverse_closest_unified_blocked(
+    ubvh, orig, dir, t_min, active, t_max=None, block: int = DEFAULT_BLOCK
+):
+    """Block-mapped unified closest-hit traversal."""
+    R = orig.shape[0]
+    if t_max is None:
+        t_max = jnp.full((R,), T_MAX, jnp.float32)
+
+    def fn(args):
+        o, d, tn, a, tm = args
+        return traverse_closest_unified(ubvh, o, d, tn, a, t_max=tm)
+
+    return _map_blocks(fn, (orig, dir, t_min, active, t_max), R, block)
+
+
+def traverse_any_unified_blocked(
+    ubvh, orig, dir, t_min, t_max, mask, block: int = DEFAULT_BLOCK
+):
+    """Block-mapped unified any-hit traversal."""
+    R = orig.shape[0]
+    t_max = jnp.broadcast_to(t_max, (R,))
+
+    def fn(args):
+        o, d, tn, tm, m = args
+        return traverse_any_unified(ubvh, o, d, tn, tm, m)
+
+    return _map_blocks(fn, (orig, dir, t_min, t_max, mask), R, block)
 
 
 def ray_sort_perm(orig, dir, active):

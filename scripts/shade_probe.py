@@ -1,0 +1,89 @@
+"""Measure the shading stage alone at bench scale: run trace_path with
+traversal stubbed (fixed plausible hits, no while loops) so the remaining
+cost is shading-row gathers + material decode + NEE/MIS + Disney BSDF
+evals + RNG. Usage: python -u scripts/shade_probe.py [textured]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    textured = "textured" in sys.argv[1:]
+
+    import jax
+    import jax.numpy as jnp
+
+    from chameleonrt_tpu.engine import path_tracer
+    from chameleonrt_tpu.engine.device_scene import build_device_scene
+    from chameleonrt_tpu.engine.trace_bvh import build_blas_set
+    from chameleonrt_tpu.ops import camera as camera_ops
+    from chameleonrt_tpu.ops.intersect import Hit, T_MAX
+    from chameleonrt_tpu.scene.loader import load_scene
+
+    W, H = 1280, 720
+    print(f"device: {jax.devices()[0].device_kind} textured={textured}", flush=True)
+    url = "proc://hall?subdiv=4" + ("&textured=1" if textured else "")
+    scene = load_scene(url)
+    flat, meta = build_device_scene(scene)
+    flat = flat._replace(blas=build_blas_set(flat, meta))
+
+    num_tris = meta.num_tris
+
+    def fake_closest(flat, orig, dir, t_min, active):
+        # deterministic fake hits: ~78% hit rate, varied triangles
+        R = orig.shape[0]
+        lane = jnp.arange(R, dtype=jnp.int32)
+        hit = active & (lane % 9 != 0)
+        tri = (lane * 2654435761 % jnp.int32(max(num_tris, 1))).astype(jnp.int32)
+        t = 1.0 + 0.25 * (lane % 13).astype(jnp.float32)
+        return Hit(
+            t=jnp.where(hit, t, T_MAX),
+            tri=jnp.where(hit, tri, -1),
+            inst=jnp.where(hit, 0, -1),
+            u=jnp.full((R,), 0.3, jnp.float32),
+            v=jnp.full((R,), 0.4, jnp.float32),
+        )
+
+    def fake_any(flat, orig, dir, t_max, mask):
+        lane = jnp.arange(orig.shape[0], dtype=jnp.int32)
+        return mask & (lane % 3 == 0)
+
+    cam = scene.cameras[0]
+    d = cam.center - cam.position
+    d = d / np.linalg.norm(d)
+    view = camera_ops.compute_view_params(cam.position, d, cam.up, cam.fov_y, W, H)
+    ys, xs = jnp.mgrid[0:H, 0:W]
+    px = xs.reshape(-1).astype(jnp.uint32)
+    py = ys.reshape(-1).astype(jnp.uint32)
+
+    @jax.jit
+    def render(flat):
+        illum, rays = path_tracer.render_pixels(
+            flat, meta, fake_closest, fake_any, view, jnp.uint32(1), px, py, W, H, 1
+        )
+        return illum.sum(), rays
+
+    out = jax.block_until_ready(render(flat))
+    ts = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(render(flat))
+        ts.append(time.perf_counter() - t0)
+    print(
+        f"shading-only frame (5 bounces, {W}x{H}): {min(ts)*1e3:.1f} ms "
+        f"(sum={float(out[0]):.3f} rays={int(out[1])})",
+        flush=True,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
