@@ -37,6 +37,26 @@ from chameleonrt_tpu.ops.traverse import (
     traverse_any_blocked,
     traverse_closest_blocked,
 )
+from chameleonrt_tpu.ops.traverse_packet import (
+    packet_eligible,
+    traverse_any_packet,
+    traverse_closest_packet,
+)
+
+
+def _packet_enabled() -> bool:
+    """Use the Pallas packet kernels when running on real TPU hardware
+    (platform 'tpu' or the tunneled 'axon'). The XLA lockstep path remains
+    the portable fallback (CPU tests, interpret-mode coverage lives in
+    tests/test_traverse_packet.py). Env CHAMELEONRT_PACKET=0/1 overrides."""
+    import os
+
+    ov = os.environ.get("CHAMELEONRT_PACKET")
+    if ov is not None:
+        return ov not in ("0", "false", "off")
+    import jax
+
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def _bucket_size(n: int) -> int:
@@ -407,14 +427,25 @@ def make_trace_fns(meta: SceneMeta):
                     flat, inst_id, orig, dir, jnp.float32(t_min), best.t
                 )
             o, d = _object_rays(flat, inst_id, orig, dir)
-            t, prim, u, v = traverse_closest_blocked(
-                flat.blas[mesh_id].closest,
-                o,
-                d,
-                jnp.broadcast_to(jnp.float32(t_min), o.shape[:1]),
-                inst_active,
-                t_max=best.t,
-            )
+            pbvh_c = flat.blas[mesh_id].closest
+            if _packet_enabled() and packet_eligible(pbvh_c):
+                t, prim, u, v = traverse_closest_packet(
+                    pbvh_c,
+                    o,
+                    d,
+                    jnp.broadcast_to(jnp.float32(t_min), o.shape[:1]),
+                    inst_active,
+                    t_max=best.t,
+                )
+            else:
+                t, prim, u, v = traverse_closest_blocked(
+                    pbvh_c,
+                    o,
+                    d,
+                    jnp.broadcast_to(jnp.float32(t_min), o.shape[:1]),
+                    inst_active,
+                    t_max=best.t,
+                )
             found = prim >= 0
             # prim == -2 marks traversal stack overflow (reachable only on
             # the uncertified-depth LBVH path): the lane's result may have
@@ -480,14 +511,26 @@ def make_trace_fns(meta: SceneMeta):
                     flat, inst_id, orig, dir, jnp.float32(EPSILON), t_max
                 )
             o, d = _object_rays(flat, inst_id, orig, dir)
-            occluded = occluded | traverse_any_blocked(
-                flat.blas[mesh_id].any,
-                o,
-                d,
-                jnp.broadcast_to(jnp.float32(EPSILON), o.shape[:1]),
-                t_max,
-                inst_mask,
-            )
+            pbvh_c = flat.blas[mesh_id].closest
+            if _packet_enabled() and packet_eligible(pbvh_c):
+                # the packet kernel wants the binary layout (closest slot)
+                occluded = occluded | traverse_any_packet(
+                    pbvh_c,
+                    o,
+                    d,
+                    jnp.broadcast_to(jnp.float32(EPSILON), o.shape[:1]),
+                    t_max,
+                    inst_mask,
+                )
+            else:
+                occluded = occluded | traverse_any_blocked(
+                    flat.blas[mesh_id].any,
+                    o,
+                    d,
+                    jnp.broadcast_to(jnp.float32(EPSILON), o.shape[:1]),
+                    t_max,
+                    inst_mask,
+                )
         return (occluded & mask)[inv_perm]
 
     def _trace_any_unified(flat: FlatScene, orig, dir, t_max, mask):

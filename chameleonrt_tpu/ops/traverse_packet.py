@@ -1,0 +1,609 @@
+"""Pallas packet-traversal kernels — the TPU-native replacement for hardware
+ray traversal (the role of rtcIntersectV / optixTrace in the reference
+backends, e.g. backends/embree/render_embree.ispc:245).
+
+Architecture (v5e-measured, see docs/ARCHITECTURE.md):
+
+Mosaic cannot lower per-lane dynamic gathers (``ref[int_array]`` et al fail
+on this toolchain), which rules out a straight port of the XLA lockstep
+form. Instead the kernel runs **shared-stack packet traversal**: a packet of
+1024 coherent rays (one (8,128) vreg per component) shares ONE traversal
+stack, so every node fetch is a *scalar-indexed* dynamic slice — a form
+Mosaic lowers natively — and all per-ray math is dense VPU work on (8,128)
+blocks. Ray sorting (ops/traverse.ray_sort_perm) makes packets coherent
+enough that the union of per-ray node visits stays close to the per-ray
+average.
+
+One packet per kernel would serialize on the vector->scalar round trip of
+the push/pop decisions (~275 ns/step measured). The kernel therefore keeps
+**K=64 packets resident** and advances all of them by one node per while
+iteration: the K decision reductions batch into one (K,) vector, the K
+scalar stack updates are an unrolled scalar loop, and the vector math for
+all packets issues as one (K*8,128) block. Measured cost: ~26 ns per
+packet-step for the node phase (vs ~275 single-packet), i.e. the scalar
+sync amortizes 10x.
+
+Leaf handling exploits idempotence: closest-hit state (best_t/prim/u/v)
+only improves on strict t decrease and occlusion state is a sticky OR, so
+re-evaluating a STALE leaf row (slots currently at internal nodes simply
+keep their last-fetched leaf row) is a no-op. That removes all per-ray
+masking from the leaf phase; the only guards are scalar-side (push
+decisions consume slab results only when the slot was at an internal
+node).
+
+Grid pipelining: packets are processed in groups of K; the Pallas grid
+iterates over groups and the BlockSpec pipeline double-buffers the next
+group's ray blocks against the current group's compute. Node/leaf tables
+ride in VMEM untiled (size-gated by the caller; scenes too big for VMEM
+stay on the XLA path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from chameleonrt_tpu.ops.intersect import T_MAX
+from chameleonrt_tpu.ops.lbvh import PackedBvh
+
+K = 64  # resident packets per grid step
+P_LANE = 128
+DEFAULT_P_SUB = 8  # sublane rows per packet (packet = P_SUB * 128 rays)
+
+_DONE = -(1 << 30)  # scalar sentinel: slot finished (any leaf code > _DONE)
+
+# Scoped-VMEM budget for the kernel (v5e has 128 MiB physical VMEM; the
+# XLA default scoped limit of 16 MiB is too small once the node+leaf
+# tables ride in VMEM next to the pipelined ray blocks).
+VMEM_LIMIT = 110 * 1024 * 1024
+_MT_EPS = 1e-9
+_BIG = 1e30
+
+
+def _bcast(col, p_sub):
+    """(K,1) per-packet column -> (K*p_sub,128) broadcast over each packet's
+    ray rows. pltpu.repeat has TILE semantics ([c0..cK-1, c0..cK-1, ...]),
+    so the ray layout is INTERLEAVED: packet k owns sublane rows
+    {k, k+K, k+2K, ...} (see _pack_rays)."""
+    rep = pltpu.repeat(col, p_sub, axis=0)  # (K*p_sub, 1) tiled
+    return jnp.broadcast_to(rep, (K * p_sub, P_LANE))
+
+
+def _slab(rows, c, p_sub, ox, oy, oz, ix, iy, iz, t_min, t_cap):
+    """Per-ray slab test of child AABB at node-row columns [c, c+6) for all
+    K packets jointly. rows: (K,16). Returns (hit, entry) as (K*8,128)."""
+    lox, loy, loz = rows[:, c + 0 : c + 1], rows[:, c + 1 : c + 2], rows[:, c + 2 : c + 3]
+    hix, hiy, hiz = rows[:, c + 3 : c + 4], rows[:, c + 4 : c + 5], rows[:, c + 5 : c + 6]
+    tx0 = (_bcast(lox, p_sub) - ox) * ix
+    tx1 = (_bcast(hix, p_sub) - ox) * ix
+    ty0 = (_bcast(loy, p_sub) - oy) * iy
+    ty1 = (_bcast(hiy, p_sub) - oy) * iy
+    tz0 = (_bcast(loz, p_sub) - oz) * iz
+    tz1 = (_bcast(hiz, p_sub) - oz) * iz
+    txn, txf = jnp.minimum(tx0, tx1), jnp.maximum(tx0, tx1)
+    tyn, tyf = jnp.minimum(ty0, ty1), jnp.maximum(ty0, ty1)
+    tzn, tzf = jnp.minimum(tz0, tz1), jnp.maximum(tz0, tz1)
+    # 0*inf NaN guards (rays parallel to a slab): entry -inf / exit +inf
+    txn = jnp.where(jnp.isnan(txn), -jnp.inf, txn)
+    tyn = jnp.where(jnp.isnan(tyn), -jnp.inf, tyn)
+    tzn = jnp.where(jnp.isnan(tzn), -jnp.inf, tzn)
+    txf = jnp.where(jnp.isnan(txf), jnp.inf, txf)
+    tyf = jnp.where(jnp.isnan(tyf), jnp.inf, tyf)
+    tzf = jnp.where(jnp.isnan(tzf), jnp.inf, tzf)
+    entry = jnp.maximum(jnp.maximum(txn, tyn), jnp.maximum(tzn, t_min))
+    exit_ = jnp.minimum(jnp.minimum(txf, tyf), jnp.minimum(tzf, t_cap))
+    return entry <= exit_, entry
+
+
+def _mt(lrows, L, p_sub, ox, oy, oz, dx, dy, dz, t_min, t_cap):
+    """Moller-Trumbore of all K packets against their fetched leaf rows
+    (component-major PackedBvh layout, ops/lbvh.py). Returns per-slot-L
+    (hit, t, u, v, prim) each (K*8,128) per slot j in [0,L) as lists."""
+    hits, ts, us, vs, prims = [], [], [], [], []
+    for j in range(L):
+
+        def g(comp):
+            return _bcast(lrows[:, comp * L + j : comp * L + j + 1], p_sub)
+
+        v0x, v0y, v0z = g(0), g(1), g(2)
+        e1x, e1y, e1z = g(3), g(4), g(5)
+        e2x, e2y, e2z = g(6), g(7), g(8)
+        prim = _bcast(lrows[:, 9 * L + j : 9 * L + j + 1], p_sub)  # f32 bits
+
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv = 1.0 / jnp.where(jnp.abs(det) < _MT_EPS, 1.0, det)
+        tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv
+        prim_i = pltpu.bitcast(prim, jnp.int32)
+        hit = (
+            (jnp.abs(det) >= _MT_EPS)
+            & (prim_i >= 0)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > t_min)
+            & (t < t_cap)
+        )
+        hits.append(hit)
+        ts.append(t)
+        us.append(u)
+        vs.append(v)
+        prims.append(prim_i)
+    return hits, ts, us, vs, prims
+
+
+def _packet_reduce_max(x, p_sub):
+    """(K*p_sub,128) f32 -> (K,) per-packet max (interleaved rows: row r is
+    packet r % K, so reshape to (p_sub, K) and reduce the leading axis)."""
+    lanes = jnp.max(x, axis=1)  # (K*p_sub,)
+    return jnp.max(lanes.reshape(p_sub, K), axis=0)
+
+
+def _packet_reduce_min(x, p_sub):
+    lanes = jnp.min(x, axis=1)
+    return jnp.min(lanes.reshape(p_sub, K), axis=0)
+
+
+def _closest_kernel(
+    L,
+    depth,
+    p_sub,
+    nodes_ref,
+    leafs_ref,
+    ox_ref,
+    oy_ref,
+    oz_ref,
+    dx_ref,
+    dy_ref,
+    dz_ref,
+    tmin_ref,
+    tmax_ref,
+    t_out,
+    prim_out,
+    u_out,
+    v_out,
+    it_out,
+    nrow_scr,
+    lrow_scr,
+    stack_ref,
+    cur_ref,
+    sp_ref,
+):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    t_min = tmin_ref[:]
+
+    # per-slot init: everyone starts at the root; all-dead packets miss both
+    # root children and retire after one iteration
+    for k in range(K):
+        cur_ref[k] = 0
+        sp_ref[k] = 0
+    # stale-leaf guard for iteration 1: degenerate rows (prim bits = 0 ->
+    # prim 0 but v0=e1=e2=0 -> det 0 -> no hit)
+    lrow_scr[:] = jnp.zeros_like(lrow_scr)
+
+    init = (
+        jnp.int32(0),  # done count
+        jnp.int32(0),  # iteration count (perf diagnostic)
+        jnp.minimum(jnp.full((K * p_sub, P_LANE), 1e20, jnp.float32), tmax_ref[:]),
+        jnp.full((K * p_sub, P_LANE), -1, jnp.int32),
+        jnp.zeros((K * p_sub, P_LANE), jnp.float32),
+        jnp.zeros((K * p_sub, P_LANE), jnp.float32),
+    )
+
+    def cond(state):
+        return state[0] < K
+
+    def body(state):
+        ndone, it, best_t, best_prim, best_u, best_v = state
+        it = it + 1
+
+        # ---- scalar fetch phase: node row or leaf row per live slot
+        for k in range(K):
+            c = cur_ref[k]
+
+            @pl.when(c >= 0)
+            def _():
+                nrow_scr[pl.ds(k, 1), :] = nodes_ref[pl.ds(c, 1), :]
+
+            @pl.when(jnp.logical_and(c < 0, c > _DONE))
+            def _():
+                lrow_scr[pl.ds(k, 1), :] = leafs_ref[pl.ds(-c - 1, 1), :]
+
+        rows = nrow_scr[:]  # (K,16)
+        lrows = lrow_scr[:]  # (K,10L)
+
+        # ---- node phase: both children, per-packet decision code
+        lhit, lt = _slab(rows, 0, p_sub, ox, oy, oz, ix, iy, iz, t_min, best_t)
+        rhit, rt = _slab(rows, 6, p_sub, ox, oy, oz, ix, iy, iz, t_min, best_t)
+        any_l = _packet_reduce_max(jnp.where(lhit, 1.0, 0.0), p_sub)
+        any_r = _packet_reduce_max(jnp.where(rhit, 1.0, 0.0), p_sub)
+        min_lt = _packet_reduce_min(jnp.where(lhit, lt, _BIG), p_sub)
+        min_rt = _packet_reduce_min(jnp.where(rhit, rt, _BIG), p_sub)
+        l_near_v = jnp.where(min_lt <= min_rt, 1.0, 0.0)
+        left_c = pltpu.bitcast(rows[:, 12:13], jnp.int32)  # (K,1)
+        right_c = pltpu.bitcast(rows[:, 13:14], jnp.int32)
+
+        # ---- leaf phase: MT on the fetched (possibly stale -> idempotent)
+        # leaf rows; strict t improvement keeps stale re-evals as no-ops
+        hits, ts, us, vs, prims = _mt(lrows, L, p_sub, ox, oy, oz, dx, dy, dz, t_min, best_t)
+        for j in range(L):
+            take = hits[j] & (ts[j] < best_t)
+            best_t = jnp.where(take, ts[j], best_t)
+            best_prim = jnp.where(take, prims[j], best_prim)
+            best_u = jnp.where(take, us[j], best_u)
+            best_v = jnp.where(take, vs[j], best_v)
+
+        # ---- scalar advance phase
+        for k in range(K):
+            c = cur_ref[k]
+            was_int = c >= 0
+            live = c > _DONE
+
+            hit_l = any_l[k] > 0.0
+            hit_r = any_r[k] > 0.0
+            l_near = l_near_v[k] > 0.0
+            lk, rk = left_c[k, 0], right_c[k, 0]
+            near = jnp.where(l_near, lk, rk)
+            far = jnp.where(l_near, rk, lk)
+            both = jnp.logical_and(jnp.logical_and(hit_l, hit_r), was_int)
+            one = jnp.logical_and(jnp.logical_xor(hit_l, hit_r), was_int)
+            single = jnp.where(hit_l, lk, rk)
+
+            sp_k = sp_ref[k]
+
+            @pl.when(jnp.logical_and(live, both))
+            def _():
+                stack_ref[k, sp_k] = far
+
+            sp2 = jnp.where(both, sp_k + 1, sp_k)
+            # next node: descend / single child / pop
+            want_pop = jnp.logical_and(live, jnp.logical_not(jnp.logical_or(both, one)))
+            can_pop = jnp.logical_and(want_pop, sp2 > 0)
+            spm = jnp.maximum(sp2 - 1, 0)
+            popped = stack_ref[k, spm]
+            nxt = jnp.where(
+                both, near, jnp.where(one, single, jnp.where(can_pop, popped, _DONE))
+            )
+            nxt = jnp.where(live, nxt, _DONE)
+            retired = jnp.logical_and(live, nxt == _DONE)
+            ndone = ndone + jnp.where(retired, 1, 0).astype(jnp.int32)
+            cur_ref[k] = nxt
+            sp_ref[k] = jnp.where(can_pop, spm, sp2)
+
+        return ndone, it, best_t, best_prim, best_u, best_v
+
+    _, it, best_t, best_prim, best_u, best_v = jax.lax.while_loop(cond, body, init)
+    t_out[:] = best_t
+    prim_out[:] = best_prim
+    u_out[:] = best_u
+    v_out[:] = best_v
+    it_out[:] = jnp.full((p_sub, P_LANE), it, jnp.int32)
+
+
+def _any_kernel(
+    L,
+    depth,
+    p_sub,
+    nodes_ref,
+    leafs_ref,
+    ox_ref,
+    oy_ref,
+    oz_ref,
+    dx_ref,
+    dy_ref,
+    dz_ref,
+    tmin_ref,
+    tmax_ref,
+    occ_out,
+    it_out,
+    nrow_scr,
+    lrow_scr,
+    stack_ref,
+    cur_ref,
+    sp_ref,
+):
+    """Occlusion variant: sticky per-ray occluded flag (stale leaf re-evals
+    are no-ops under OR), per-packet early-out when every ray is occluded.
+    Dead rays must enter pre-occluded (callers pass tmax<=0 for them) so the
+    all-reduction can fire."""
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    t_min = tmin_ref[:]
+    t_max = tmax_ref[:]
+
+    for k in range(K):
+        cur_ref[k] = 0
+        sp_ref[k] = 0
+    lrow_scr[:] = jnp.zeros_like(lrow_scr)
+
+    init = (
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.where(t_max <= 0.0, 1.0, 0.0),  # occluded as f32 0/1
+    )
+
+    def cond(state):
+        return state[0] < K
+
+    def body(state):
+        ndone, it, occ = state
+        it = it + 1
+
+        for k in range(K):
+            c = cur_ref[k]
+
+            @pl.when(c >= 0)
+            def _():
+                nrow_scr[pl.ds(k, 1), :] = nodes_ref[pl.ds(c, 1), :]
+
+            @pl.when(jnp.logical_and(c < 0, c > _DONE))
+            def _():
+                lrow_scr[pl.ds(k, 1), :] = leafs_ref[pl.ds(-c - 1, 1), :]
+
+        rows = nrow_scr[:]
+        lrows = lrow_scr[:]
+
+        # node phase: skip subtrees for already-occluded rays via t_cap<=0
+        t_cap = jnp.where(occ > 0.0, -_BIG, t_max)
+        lhit, _ = _slab(rows, 0, p_sub, ox, oy, oz, ix, iy, iz, t_min, t_cap)
+        rhit, _ = _slab(rows, 6, p_sub, ox, oy, oz, ix, iy, iz, t_min, t_cap)
+        any_l = _packet_reduce_max(jnp.where(lhit, 1.0, 0.0), p_sub)
+        any_r = _packet_reduce_max(jnp.where(rhit, 1.0, 0.0), p_sub)
+        left_c = pltpu.bitcast(rows[:, 12:13], jnp.int32)  # (K,1)
+        right_c = pltpu.bitcast(rows[:, 13:14], jnp.int32)
+
+        # leaf phase
+        hits, _, _, _, _ = _mt(lrows, L, p_sub, ox, oy, oz, dx, dy, dz, t_min, t_max)
+        newly = hits[0]
+        for j in range(1, L):
+            newly = newly | hits[j]
+        occ = jnp.maximum(occ, jnp.where(newly, 1.0, 0.0))
+        all_done = _packet_reduce_min(occ, p_sub)  # (K,) 1.0 if whole packet occluded
+
+        for k in range(K):
+            c = cur_ref[k]
+            was_int = c >= 0
+            live = c > _DONE
+
+            hit_l = any_l[k] > 0.0
+            hit_r = any_r[k] > 0.0
+            lk, rk = left_c[k, 0], right_c[k, 0]
+            both = jnp.logical_and(jnp.logical_and(hit_l, hit_r), was_int)
+            one = jnp.logical_and(jnp.logical_xor(hit_l, hit_r), was_int)
+            single = jnp.where(hit_l, lk, rk)
+
+            sp_k = sp_ref[k]
+
+            @pl.when(jnp.logical_and(live, both))
+            def _():
+                stack_ref[k, sp_k] = rk  # no ordering needed for any-hit
+
+            sp2 = jnp.where(both, sp_k + 1, sp_k)
+            early = all_done[k] > 0.0
+            want_pop = jnp.logical_and(live, jnp.logical_not(jnp.logical_or(both, one)))
+            can_pop = jnp.logical_and(want_pop, sp2 > 0)
+            spm = jnp.maximum(sp2 - 1, 0)
+            popped = stack_ref[k, spm]
+            nxt = jnp.where(
+                both, lk, jnp.where(one, single, jnp.where(can_pop, popped, _DONE))
+            )
+            nxt = jnp.where(jnp.logical_and(live, jnp.logical_not(early)), nxt, _DONE)
+            retired = jnp.logical_and(live, nxt == _DONE)
+            ndone = ndone + jnp.where(retired, 1, 0).astype(jnp.int32)
+            cur_ref[k] = nxt
+            sp_ref[k] = jnp.where(can_pop, spm, sp2)
+
+        return ndone, it, occ
+
+    _, it, occ = jax.lax.while_loop(cond, body, init)
+    occ_out[:] = occ > 0.0
+    it_out[:] = jnp.full((p_sub, P_LANE), it, jnp.int32)
+
+
+def _pack_rays(x, G, p_sub):
+    """(R,) f32 -> (G*K*p_sub, 128), zero-padded, INTERLEAVED per group:
+    the contiguous packet k of group g lands on rows {g*K*p_sub + k + j*K}
+    so that tile-semantics pltpu.repeat broadcasts packet columns correctly
+    (see _bcast)."""
+    need = G * K * p_sub * P_LANE
+    if x.shape[0] < need:
+        x = jnp.pad(x, (0, need - x.shape[0]))
+    x = x.reshape(G, K, p_sub, P_LANE).swapaxes(1, 2)
+    return x.reshape(G * K * p_sub, P_LANE)
+
+
+def _unpack_rays(y, R, p_sub):
+    """Inverse of _pack_rays on a kernel output: -> (R,)."""
+    G = y.shape[0] // (K * p_sub)
+    y = y.reshape(G, p_sub, K, P_LANE).swapaxes(1, 2)
+    return y.reshape(-1)[:R]
+
+
+def _ray_specs(n, p_sub):
+    """BlockSpecs for n per-ray (G*K*p_sub,128) inputs, blocked per grid step."""
+    return [
+        pl.BlockSpec((K * p_sub, P_LANE), lambda g: (g, 0), memory_space=pltpu.VMEM)
+        for _ in range(n)
+    ]
+
+
+def _table_specs():
+    """Node + leaf tables: whole-array VMEM blocks, same for every step."""
+    return [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("L", "depth", "G", "p_sub", "interpret")
+)
+def _closest_call(nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax, *, L, depth, G, p_sub, interpret=False):
+    shape = (G * K * p_sub, P_LANE)
+    return pl.pallas_call(
+        functools.partial(_closest_kernel, L, depth, p_sub),
+        grid=(G,),
+        in_specs=_table_specs() + _ray_specs(8, p_sub),
+        out_specs=[
+            pl.BlockSpec((K * p_sub, P_LANE), lambda g: (g, 0), memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ]
+        + [pl.BlockSpec((p_sub, P_LANE), lambda g: (g, 0), memory_space=pltpu.VMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+            jax.ShapeDtypeStruct(shape, jnp.int32),
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+            jax.ShapeDtypeStruct((G * p_sub, P_LANE), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((K, 16), jnp.float32),
+            pltpu.VMEM((K, 10 * L), jnp.float32),
+            pltpu.SMEM((K, depth), jnp.int32),
+            pltpu.SMEM((K,), jnp.int32),
+            pltpu.SMEM((K,), jnp.int32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("L", "depth", "G", "p_sub", "interpret")
+)
+def _any_call(nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax, *, L, depth, G, p_sub, interpret=False):
+    shape = (G * K * p_sub, P_LANE)
+    return pl.pallas_call(
+        functools.partial(_any_kernel, L, depth, p_sub),
+        grid=(G,),
+        in_specs=_table_specs() + _ray_specs(8, p_sub),
+        out_specs=[
+            pl.BlockSpec((K * p_sub, P_LANE), lambda g: (g, 0), memory_space=pltpu.VMEM)
+        ]
+        + [pl.BlockSpec((p_sub, P_LANE), lambda g: (g, 0), memory_space=pltpu.VMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct(shape, jnp.bool_),
+            jax.ShapeDtypeStruct((G * p_sub, P_LANE), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((K, 16), jnp.float32),
+            pltpu.VMEM((K, 10 * L), jnp.float32),
+            pltpu.SMEM((K, depth), jnp.int32),
+            pltpu.SMEM((K,), jnp.int32),
+            pltpu.SMEM((K,), jnp.int32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax)
+
+
+# caller-side size gate: node+leaf tables must fit VMEM alongside ray blocks
+# and scratch. v5e VMEM is 128 MiB; leave headroom for the pipeline.
+VMEM_TABLE_BUDGET = 88 * 1024 * 1024
+
+
+def packet_eligible(pbvh: PackedBvh) -> bool:
+    """True when the packet kernel can traverse this BVH: binary layout,
+    builder-certified stack depth, >1 leaf, and tables that fit VMEM."""
+    if pbvh.arity != 2 or pbvh.max_depth is None or pbvh.num_leaves <= 1:
+        return False
+    table_bytes = (pbvh.nodes.size + pbvh.leaf_rows.size) * 4
+    return table_bytes <= VMEM_TABLE_BUDGET
+
+
+def traverse_closest_packet(pbvh: PackedBvh, orig, dir, t_min, active, t_max=None, interpret=False, return_iters=False, p_sub=DEFAULT_P_SUB):
+    """Closest-hit packet traversal. Same contract as
+    ops.traverse.traverse_closest_blocked: returns (t, prim, u, v) with
+    prim=-1 on miss. Rays should be pre-sorted (ray_sort_perm) for packet
+    coherence; dead lanes are parked at +1e30 so all-dead packets retire
+    after one root test."""
+    R = orig.shape[0]
+    group = K * p_sub * P_LANE
+    G = max(1, -(-R // group))
+    ox = _pack_rays(jnp.where(active, orig[:, 0], _BIG), G, p_sub)
+    oy = _pack_rays(jnp.where(active, orig[:, 1], _BIG), G, p_sub)
+    oz = _pack_rays(jnp.where(active, orig[:, 2], _BIG), G, p_sub)
+    dx = _pack_rays(jnp.where(active, dir[:, 0], 1.0), G, p_sub)
+    dy = _pack_rays(jnp.where(active, dir[:, 1], 1.0), G, p_sub)
+    dz = _pack_rays(jnp.where(active, dir[:, 2], 1.0), G, p_sub)
+    tmin = _pack_rays(jnp.broadcast_to(t_min, (R,)), G, p_sub)
+    if t_max is None:
+        t_max = jnp.full((R,), T_MAX, jnp.float32)
+    tmax = _pack_rays(jnp.broadcast_to(t_max, (R,)), G, p_sub)
+
+    depth = max(2, int(pbvh.max_depth) + 1)
+    t, prim, u, v, iters = _closest_call(
+        pbvh.nodes,
+        pbvh.leaf_rows,
+        ox, oy, oz, dx, dy, dz, tmin, tmax,
+        L=pbvh.leaf_size,
+        depth=depth,
+        G=G,
+        p_sub=p_sub,
+        interpret=interpret,
+    )
+    if return_iters:
+        return iters[::p_sub, 0]
+    t = _unpack_rays(t, R, p_sub)
+    prim = _unpack_rays(prim, R, p_sub)
+    u = _unpack_rays(u, R, p_sub)
+    v = _unpack_rays(v, R, p_sub)
+    miss = (prim < 0) | ~active
+    return (
+        jnp.where(miss, T_MAX, t),
+        jnp.where(miss, -1, prim),
+        jnp.where(miss, 0.0, u),
+        jnp.where(miss, 0.0, v),
+    )
+
+
+def traverse_any_packet(pbvh: PackedBvh, orig, dir, t_min, t_max, mask, interpret=False, return_iters=False, p_sub=DEFAULT_P_SUB):
+    """Any-hit packet traversal. Same contract as traverse_any_blocked:
+    returns (R,) bool occluded."""
+    R = orig.shape[0]
+    group = K * p_sub * P_LANE
+    G = max(1, -(-R // group))
+    ox = _pack_rays(jnp.where(mask, orig[:, 0], _BIG), G, p_sub)
+    oy = _pack_rays(jnp.where(mask, orig[:, 1], _BIG), G, p_sub)
+    oz = _pack_rays(jnp.where(mask, orig[:, 2], _BIG), G, p_sub)
+    dx = _pack_rays(jnp.where(mask, dir[:, 0], 1.0), G, p_sub)
+    dy = _pack_rays(jnp.where(mask, dir[:, 1], 1.0), G, p_sub)
+    dz = _pack_rays(jnp.where(mask, dir[:, 2], 1.0), G, p_sub)
+    tmin = _pack_rays(jnp.broadcast_to(t_min, (R,)), G, p_sub)
+    # dead lanes enter pre-occluded (tmax<=0) so packet early-out can fire;
+    # the final AND with mask strips them
+    tmax = _pack_rays(jnp.where(mask, jnp.broadcast_to(t_max, (R,)), -1.0), G, p_sub)
+
+    depth = max(2, int(pbvh.max_depth) + 1)
+    occ, iters = _any_call(
+        pbvh.nodes,
+        pbvh.leaf_rows,
+        ox, oy, oz, dx, dy, dz, tmin, tmax,
+        L=pbvh.leaf_size,
+        depth=depth,
+        G=G,
+        p_sub=p_sub,
+        interpret=interpret,
+    )
+    if return_iters:
+        return iters[::p_sub, 0]
+    return _unpack_rays(occ, R, p_sub) & mask
