@@ -190,9 +190,13 @@ def build_device_scene(scene: Scene) -> Tuple[FlatScene, SceneMeta]:
         scene.lights = [default_obj_light()]
     lights = LightArrays.from_scene_lights(scene.lights)
 
-    # Texture atlas: SRGB color textures linearized on upload
+    # Texture atlas: SRGB color textures linearized on upload, stored as
+    # pre-built bilinear quad rows (one (R,16) gather per sample on device;
+    # see ops/texture.py)
     if scene.textures and scene.material_mode != MaterialMode.WHITE_DIFFUSE:
-        texels = []
+        from chameleonrt_tpu.ops.texture import build_quad_rows
+
+        quads = []
         table = np.zeros((len(scene.textures), 3), np.int32)
         off = 0
         for ti, img in enumerate(scene.textures):
@@ -210,11 +214,11 @@ def build_device_scene(scene: Scene) -> Tuple[FlatScene, SceneMeta]:
                 rgba[..., 3] = fdata[..., 1]
             else:
                 rgba[..., :c] = fdata
-            texels.append(rgba.reshape(-1, 4))
+            quads.append(build_quad_rows(rgba))
             table[ti] = (off, w, h)
             off += w * h
         atlas = TextureAtlas(
-            atlas=jnp.asarray(np.concatenate(texels)), table=jnp.asarray(table)
+            atlas=jnp.asarray(np.concatenate(quads)), table=jnp.asarray(table)
         )
     else:
         atlas = TextureAtlas.empty()

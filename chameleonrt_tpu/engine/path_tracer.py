@@ -146,6 +146,43 @@ def _sample_direct_light(
     return state, contrib1 + contrib2, rays
 
 
+def _sort_wavefront(state, orig, dir, throughput, illum, active, lane_pixel):
+    """Re-sort the whole path state by (active, direction octant, origin
+    Morton) with ONE packed row gather.
+
+    XLA:TPU gathers cost ~12 ns per ROW regardless of row width (measured:
+    a dozen separate per-field permutation gathers were ~35% of the frame),
+    so the entire wavefront state packs into one (R, 16) int32 matrix —
+    float fields bitcast, never converted (int gathers cannot canonicalize
+    NaN payloads, which matters for the raw uint32 RNG state) — and one
+    row gather applies the permutation to everything."""
+    from chameleonrt_tpu.ops.traverse import ray_sort_perm_only
+
+    perm = ray_sort_perm_only(orig, dir, active)
+    f32 = jnp.concatenate([orig, dir, throughput, illum], axis=1)  # (R,12)
+    packed = jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(f32, jnp.int32),
+            state.astype(jnp.int32)[..., None],
+            lane_pixel[..., None],
+            active.astype(jnp.int32)[..., None],
+            jnp.zeros((orig.shape[0], 1), jnp.int32),
+        ],
+        axis=1,
+    )  # (R, 16)
+    packed = packed[perm]  # ONE row gather
+    f32 = jax.lax.bitcast_convert_type(packed[:, 0:12], jnp.float32)
+    return (
+        packed[:, 12].astype(jnp.uint32),  # state
+        f32[:, 0:3],  # orig
+        f32[:, 3:6],  # dir
+        f32[:, 6:9],  # throughput
+        f32[:, 9:12],  # illum
+        packed[:, 14] != 0,  # active
+        packed[:, 13],  # lane_pixel
+    )
+
+
 def trace_path(
     flat: FlatScene,
     meta: SceneMeta,
@@ -156,16 +193,25 @@ def trace_path(
     state,
 ):
     """One full path per lane starting from the given primary rays.
-    Returns (state, illum (R,3), rays_traced int32)."""
+    Returns (state, illum (R,3), rays_traced int32). NOTE: the returned
+    illum is in RESHUFFLED lane order — lane_pixel (also returned) maps
+    each lane to its originating index in the input ray order; callers
+    scatter by it (render_pixels does). The wavefront re-sorts itself by
+    ray coherence each bounce so traversal sees coherent packets without
+    any per-trace-call permutation."""
     R = orig.shape[0]
     illum = jnp.zeros((R, 3), jnp.float32)
     throughput = jnp.ones((R, 3), jnp.float32)
     active = jnp.ones((R,), bool)
+    lane_pixel = jnp.arange(R, dtype=jnp.int32)
     rays = jnp.int32(0)
     t_min = jnp.float32(0.0)
 
     def bounce_body(bounce, carry):
-        state, orig, dir, t_min, throughput, illum, active, rays = carry
+        state, orig, dir, t_min, throughput, illum, active, lane_pixel, rays = carry
+        state, orig, dir, throughput, illum, active, lane_pixel = _sort_wavefront(
+            state, orig, dir, throughput, illum, active, lane_pixel
+        )
         hit = trace_closest(flat, orig, dir, t_min, active)
         rays = rays + active.astype(jnp.int32).sum()
 
@@ -240,12 +286,12 @@ def trace_path(
             throughput / jnp.maximum(1.0 - q, 1e-6)[..., None],
             throughput,
         )
-        return state, orig, dir, t_min, throughput, illum, active, rays
+        return state, orig, dir, t_min, throughput, illum, active, lane_pixel, rays
 
-    carry = (state, orig, dir, t_min, throughput, illum, active, rays)
+    carry = (state, orig, dir, t_min, throughput, illum, active, lane_pixel, rays)
     carry = jax.lax.fori_loop(0, MAX_PATH_DEPTH, bounce_body, carry)
-    state, _, _, _, _, illum, _, rays = carry
-    return state, illum, rays
+    state, _, _, _, _, illum, _, lane_pixel, rays = carry
+    return state, illum, lane_pixel, rays
 
 
 def render_pixels(
@@ -275,8 +321,16 @@ def render_pixels(
         state, orig, dir = camera_ops.generate_primary_rays(
             view, pixel_x, pixel_y, float(fb_width), float(fb_height), state
         )
-        state, illum, rays = trace_path(
+        state, illum, lane_pixel, rays = trace_path(
             flat, meta, trace_closest, trace_any, orig, dir, state
+        )
+        # one scatter restores input-ray order (trace_path reshuffles lanes
+        # by coherence each bounce; per-pixel arithmetic is unchanged, so
+        # images stay bit-identical to the unsorted pipeline)
+        illum = (
+            jnp.zeros_like(illum)
+            .at[lane_pixel]
+            .set(illum, unique_indices=True, indices_are_sorted=False)
         )
         return illum_acc + illum, rays_acc + rays
 

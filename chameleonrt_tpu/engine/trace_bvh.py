@@ -33,7 +33,6 @@ from chameleonrt_tpu.ops.lbvh import (
 )
 from chameleonrt_tpu.ops.math import EPSILON, transform_point, transform_vector
 from chameleonrt_tpu.ops.traverse import (
-    ray_sort_perm,
     traverse_any_blocked,
     traverse_closest_blocked,
 )
@@ -408,13 +407,13 @@ def make_trace_fns(meta: SceneMeta):
     multi = meta.num_instances > 1
 
     def trace_closest(flat: FlatScene, orig, dir, t_min, active):
-        # Sort the wavefront (active-first, octant, origin Morton) so each
-        # lockstep block sees similar rays and dead blocks exit immediately;
-        # results are unsorted at the end (bit-identical images).
+        # Rays arrive PRE-SORTED (active-first, octant, origin Morton): the
+        # path tracer re-sorts its whole wavefront state once per bounce
+        # (path_tracer._sort_wavefront) so no per-call permutation gathers
+        # are paid here — XLA:TPU gathers cost ~12 ns per row, and the
+        # old per-call sort/unsort was ~35% of the frame.
         if flat.blas and isinstance(flat.blas[0], UnifiedPair):
             return _trace_closest_unified(flat, orig, dir, t_min, active)
-        perm, inv_perm = ray_sort_perm(orig, dir, active)
-        orig, dir, active = orig[perm], dir[perm], active[perm]
         best = Hit.none(orig.shape[:1])
         ovf = jnp.zeros(orig.shape[:1], bool)
         for inst_id, mesh_id in enumerate(meta.inst_mesh):
@@ -462,44 +461,38 @@ def make_trace_fns(meta: SceneMeta):
             )
             best = best.merge(cand)
         ok = active & ~ovf
-        sorted_hit = Hit(
+        return Hit(
             t=jnp.where(ok, best.t, T_MAX),
             tri=jnp.where(ok, best.tri, jnp.where(active & ovf, -2, -1)),
             inst=jnp.where(ok, best.inst, -1),
             u=best.u,
             v=best.v,
         )
-        return Hit(*(f[inv_perm] for f in sorted_hit))
 
     def _trace_closest_unified(flat: FlatScene, orig, dir, t_min, active):
         from chameleonrt_tpu.ops.traverse import traverse_closest_unified_blocked
 
-        perm, inv_perm = ray_sort_perm(orig, dir, active)
-        orig_s, dir_s, active_s = orig[perm], dir[perm], active[perm]
         t, prim, inst, u, v = traverse_closest_unified_blocked(
             flat.blas[0].closest,
-            orig_s,
-            dir_s,
-            jnp.broadcast_to(jnp.float32(t_min), orig_s.shape[:1]),
-            active_s,
+            orig,
+            dir,
+            jnp.broadcast_to(jnp.float32(t_min), orig.shape[:1]),
+            active,
         )
-        found = active_s & (prim >= 0)
-        ovf = active_s & (prim == -2)
-        hit = Hit(
+        found = active & (prim >= 0)
+        ovf = active & (prim == -2)
+        return Hit(
             t=jnp.where(found, t, T_MAX),
             tri=jnp.where(found, prim, jnp.where(ovf, -2, -1)),
             inst=jnp.where(found, inst, -1),
             u=u,
             v=v,
         )
-        return Hit(*(f[inv_perm] for f in hit))
 
     def trace_any(flat: FlatScene, orig, dir, t_max, mask):
         if flat.blas and isinstance(flat.blas[0], UnifiedPair):
             return _trace_any_unified(flat, orig, dir, t_max, mask)
-        perm, inv_perm = ray_sort_perm(orig, dir, mask)
-        orig, dir, mask = orig[perm], dir[perm], mask[perm]
-        t_max = jnp.broadcast_to(t_max, orig.shape[:1])[perm]
+        t_max = jnp.broadcast_to(t_max, orig.shape[:1])
         occluded = jnp.zeros(orig.shape[:1], bool)
         for inst_id, mesh_id in enumerate(meta.inst_mesh):
             start, count = meta.mesh_tri_ranges[mesh_id]
@@ -531,22 +524,19 @@ def make_trace_fns(meta: SceneMeta):
                     t_max,
                     inst_mask,
                 )
-        return (occluded & mask)[inv_perm]
+        return occluded & mask
 
     def _trace_any_unified(flat: FlatScene, orig, dir, t_max, mask):
         from chameleonrt_tpu.ops.traverse import traverse_any_unified_blocked
 
-        perm, inv_perm = ray_sort_perm(orig, dir, mask)
-        orig_s, dir_s, mask_s = orig[perm], dir[perm], mask[perm]
-        t_max_s = jnp.broadcast_to(t_max, orig.shape[:1])[perm]
         occ = traverse_any_unified_blocked(
             flat.blas[0].any,
-            orig_s,
-            dir_s,
-            jnp.broadcast_to(jnp.float32(EPSILON), orig_s.shape[:1]),
-            t_max_s,
-            mask_s,
+            orig,
+            dir,
+            jnp.broadcast_to(jnp.float32(EPSILON), orig.shape[:1]),
+            jnp.broadcast_to(t_max, orig.shape[:1]),
+            mask,
         )
-        return (occ & mask_s)[inv_perm]
+        return occ & mask
 
     return trace_closest, trace_any

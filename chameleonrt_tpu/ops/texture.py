@@ -1,11 +1,18 @@
 """Texture atlas sampling (jax).
 
-All scene textures are packed into one flat RGBA float32 atlas on device;
-per-texture rows of a (N, 3) int32 table carry (texel offset, width, height).
-Sampling is software bilinear with wrap addressing, the vectorized equivalent
-of the reference's CPU texture unit (backends/embree/texture2d.ih:39-83),
-expressed as 4 HBM gathers per lookup. Material parameters that carry texture
-handles (util/texture_channel_mask.h) are decoded bitwise on device.
+All scene textures are packed into one device atlas of PRE-BUILT BILINEAR
+QUADS: row i holds the 2x2 RGBA texel footprint [t(x,y), t(x+1,y),
+t(x,y+1), t(x+1,y+1)] (16 floats), with the wrap column/row folded in at
+upload. Sampling is software bilinear with wrap addressing — the
+vectorized equivalent of the reference's CPU texture unit
+(backends/embree/texture2d.ih:39-83) — expressed as ONE (R,16) row gather
+per lookup. XLA:TPU gathers cost ~12 ns per ROW regardless of width
+(measured), so one 64-byte-row gather is ~4x cheaper than the naive four
+corner gathers; the 4x texel memory is the explicit trade.
+
+Per-texture rows of a (N, 3) int32 table carry (quad-row offset, width,
+height). Material parameters that carry texture handles
+(util/texture_channel_mask.h) are decoded bitwise on device.
 """
 
 from __future__ import annotations
@@ -17,8 +24,8 @@ import jax.numpy as jnp
 
 
 class TextureAtlas(NamedTuple):
-    atlas: jnp.ndarray  # (P, 4) float32 texels (linearized color space)
-    table: jnp.ndarray  # (N, 3) int32: offset, width, height
+    atlas: jnp.ndarray  # (P, 16) float32 bilinear quad rows (linearized)
+    table: jnp.ndarray  # (N, 3) int32: quad-row offset, width, height
 
     @property
     def num_textures(self) -> int:
@@ -27,9 +34,25 @@ class TextureAtlas(NamedTuple):
     @staticmethod
     def empty() -> "TextureAtlas":
         return TextureAtlas(
-            atlas=jnp.zeros((1, 4), jnp.float32),
+            atlas=jnp.zeros((1, 16), jnp.float32),
             table=jnp.ones((1, 3), jnp.int32),
         )
+
+
+def build_quad_rows(rgba):
+    """(h, w, 4) float32 image -> (h*w, 16) bilinear quad rows with wrap
+    addressing baked in: row (y*w + x) = [t(x,y), t(x+1 mod w, y),
+    t(x, y+1 mod h), t(x+1 mod w, y+1 mod h)]. mod is a homomorphism, so
+    indexing quads by (wrap(xi), wrap(yi)) reproduces the reference's
+    independently wrapped four corners exactly (texture2d.ih:39-49)."""
+    import numpy as np
+
+    p = np.concatenate([rgba, rgba[:, :1]], axis=1)  # wrap column
+    p = np.concatenate([p, p[:1]], axis=0)  # wrap row
+    q = np.concatenate(
+        [p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]], axis=2
+    )  # (h, w, 16)
+    return np.ascontiguousarray(q.reshape(-1, 16), dtype=np.float32)
 
 
 def _wrap(x, n):
@@ -37,9 +60,9 @@ def _wrap(x, n):
     return jnp.mod(x, jnp.maximum(n, 1))
 
 
-def _bilinear_setup(atlas: TextureAtlas, tex_id, uv):
+def _quad_setup(atlas: TextureAtlas, tex_id, uv):
     """Shared bilinear footprint computation (reference texture2d.ih:39-49):
-    returns (idx00, idx10, idx01, idx11, tx, ty) flat atlas indices + weights."""
+    returns (quad rows (..., 16), tx, ty)."""
     tex_id = jnp.clip(tex_id, 0, atlas.table.shape[0] - 1)
     rec = atlas.table[tex_id]  # (..., 3)
     off, w, h = rec[..., 0], rec[..., 1], rec[..., 2]
@@ -52,55 +75,44 @@ def _bilinear_setup(atlas: TextureAtlas, tex_id, uv):
     xi = ux.astype(jnp.int32)
     yi = uy.astype(jnp.int32)
     x0 = _wrap(xi, w)
-    x1 = _wrap(xi + 1, w)
     y0 = _wrap(yi, h)
-    y1 = _wrap(yi + 1, h)
-    idx00 = off + y0 * w + x0
-    idx10 = off + y0 * w + x1
-    idx01 = off + y1 * w + x0
-    idx11 = off + y1 * w + x1
-    return idx00, idx10, idx01, idx11, tx, ty
+    rows = atlas.atlas[off + y0 * w + x0]  # ONE (R,16) gather
+    return rows, tx, ty
 
 
 def sample_rgb(atlas: TextureAtlas, tex_id, uv):
     """Bilinear RGB fetch (reference texture2d.ih:39-60). Returns (..., 3)."""
-    i00, i10, i01, i11, tx, ty = _bilinear_setup(atlas, tex_id, uv)
-    a = atlas.atlas
-    s00 = a[i00, :3]
-    s10 = a[i10, :3]
-    s01 = a[i01, :3]
-    s11 = a[i11, :3]
+    rows, tx, ty = _quad_setup(atlas, tex_id, uv)
     tx = tx[..., None]
     ty = ty[..., None]
     return (
-        s00 * (1.0 - tx) * (1.0 - ty)
-        + s10 * tx * (1.0 - ty)
-        + s01 * (1.0 - tx) * ty
-        + s11 * tx * ty
+        rows[..., 0:3] * (1.0 - tx) * (1.0 - ty)
+        + rows[..., 4:7] * tx * (1.0 - ty)
+        + rows[..., 8:11] * (1.0 - tx) * ty
+        + rows[..., 12:15] * tx * ty
     )
 
 
 def sample_channel(atlas: TextureAtlas, tex_id, channel, uv):
     """Bilinear single-channel fetch (reference texture2d.ih:62-83).
 
-    The channel select is a one-hot reduction over full gathered rows, NOT
-    a per-lane minor-dim fancy index `a[idx, ch]`: per-lane minor-dim
+    The channel select is a one-hot reduction over the gathered quad row,
+    NOT a per-lane minor-dim fancy index `a[idx, ch]`: per-lane minor-dim
     dynamic indexing is the pattern class that relayouts (~1 ms/op) and
     faults the v5e/axon compiler at scale (docs/ARCHITECTURE.md)."""
-    i00, i10, i01, i11, tx, ty = _bilinear_setup(atlas, tex_id, uv)
-    a = atlas.atlas
+    rows, tx, ty = _quad_setup(atlas, tex_id, uv)
     onehot = (
         jnp.arange(4, dtype=jnp.int32) == jnp.clip(channel, 0, 3)[..., None]
     ).astype(jnp.float32)
 
-    def fetch(i):
-        return jnp.sum(a[i] * onehot, axis=-1)
+    def pick(c0):
+        return jnp.sum(rows[..., c0 : c0 + 4] * onehot, axis=-1)
 
     return (
-        fetch(i00) * (1.0 - tx) * (1.0 - ty)
-        + fetch(i10) * tx * (1.0 - ty)
-        + fetch(i01) * (1.0 - tx) * ty
-        + fetch(i11) * tx * ty
+        pick(0) * (1.0 - tx) * (1.0 - ty)
+        + pick(4) * tx * (1.0 - ty)
+        + pick(8) * (1.0 - tx) * ty
+        + pick(12) * tx * ty
     )
 
 

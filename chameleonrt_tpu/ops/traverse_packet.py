@@ -6,30 +6,37 @@ Architecture (v5e-measured, see docs/ARCHITECTURE.md):
 
 Mosaic cannot lower per-lane dynamic gathers (``ref[int_array]`` et al fail
 on this toolchain), which rules out a straight port of the XLA lockstep
-form. Instead the kernel runs **shared-stack packet traversal**: a packet of
-1024 coherent rays (one (8,128) vreg per component) shares ONE traversal
-stack, so every node fetch is a *scalar-indexed* dynamic slice — a form
-Mosaic lowers natively — and all per-ray math is dense VPU work on (8,128)
-blocks. Ray sorting (ops/traverse.ray_sort_perm) makes packets coherent
-enough that the union of per-ray node visits stays close to the per-ray
-average.
+form. Instead the kernel runs **shared-stack packet traversal**: a packet
+of P_SUB*128 coherent rays shares ONE traversal stack, so every node fetch
+is a *scalar-indexed* dynamic slice — a form Mosaic lowers natively — and
+all per-ray math is dense VPU work. Ray sorting (ops/traverse.ray_sort_perm)
+makes packets coherent enough that the union of per-ray node visits stays
+within a few x of the per-ray average (measured: ~3x at 256-ray packets on
+the hall camera wavefront).
 
 One packet per kernel would serialize on the vector->scalar round trip of
 the push/pop decisions (~275 ns/step measured). The kernel therefore keeps
-**K=64 packets resident** and advances all of them by one node per while
+**K=64 packets resident** and advances all of them together per while
 iteration: the K decision reductions batch into one (K,) vector, the K
 scalar stack updates are an unrolled scalar loop, and the vector math for
-all packets issues as one (K*8,128) block. Measured cost: ~26 ns per
-packet-step for the node phase (vs ~275 single-packet), i.e. the scalar
-sync amortizes 10x.
+all packets issues as one (K*P_SUB,128) block. Measured: ~26 ns per
+packet-step for the node phase at P_SUB=8 (vs ~275 single-packet).
+Packet height is a parameter; P_SUB=2 (256-ray packets) measures best on
+both coherent and incoherent hall wavefronts — the smaller packet unions
+beat the extra iterations (sweep: scripts/packet_sweep.py).
+
+Iterations are PHASE-ALTERNATED: a while iteration is either a node phase
+(slab tests only; slots waiting at leaves stall) or a leaf phase (Moller-
+Trumbore only, batched across every waiting slot), selected by a scalar
+slot census through a real Mosaic branch (lax.cond). This avoids paying
+the ~180-op leaf math on node steps and vice versa (~2x vector-work saving
+at the typical 2:1 internal:leaf visit ratio).
 
 Leaf handling exploits idempotence: closest-hit state (best_t/prim/u/v)
 only improves on strict t decrease and occlusion state is a sticky OR, so
-re-evaluating a STALE leaf row (slots currently at internal nodes simply
-keep their last-fetched leaf row) is a no-op. That removes all per-ray
-masking from the leaf phase; the only guards are scalar-side (push
-decisions consume slab results only when the slot was at an internal
-node).
+re-evaluating a STALE leaf row (slots not at a leaf keep their last-fetched
+row) is a no-op. That removes all per-ray masking from the leaf phase; the
+only guards are scalar-side.
 
 Grid pipelining: packets are processed in groups of K; the Pallas grid
 iterates over groups and the BlockSpec pipeline double-buffers the next
@@ -52,16 +59,22 @@ from chameleonrt_tpu.ops.lbvh import PackedBvh
 
 K = 64  # resident packets per grid step
 P_LANE = 128
-DEFAULT_P_SUB = 8  # sublane rows per packet (packet = P_SUB * 128 rays)
+DEFAULT_P_SUB = 2  # sublane rows per packet (packet = P_SUB * 128 rays)
+
+# Minimum number of slots waiting at a leaf before a leaf phase runs (a
+# leaf phase always runs when no slot can do a node step). Low values
+# waste leaf-phase batching; high values stall too many slots through
+# node phases.
+LEAF_THRESH = 16
 
 _DONE = -(1 << 30)  # scalar sentinel: slot finished (any leaf code > _DONE)
+_MT_EPS = 1e-9
+_BIG = 1e30
 
 # Scoped-VMEM budget for the kernel (v5e has 128 MiB physical VMEM; the
 # XLA default scoped limit of 16 MiB is too small once the node+leaf
 # tables ride in VMEM next to the pipelined ray blocks).
-VMEM_LIMIT = 110 * 1024 * 1024
-_MT_EPS = 1e-9
-_BIG = 1e30
+VMEM_LIMIT = 124 * 1024 * 1024
 
 
 def _bcast(col, p_sub):
@@ -75,7 +88,7 @@ def _bcast(col, p_sub):
 
 def _slab(rows, c, p_sub, ox, oy, oz, ix, iy, iz, t_min, t_cap):
     """Per-ray slab test of child AABB at node-row columns [c, c+6) for all
-    K packets jointly. rows: (K,16). Returns (hit, entry) as (K*8,128)."""
+    K packets jointly. rows: (K,16). Returns (hit, entry) as (K*p_sub,128)."""
     lox, loy, loz = rows[:, c + 0 : c + 1], rows[:, c + 1 : c + 2], rows[:, c + 2 : c + 3]
     hix, hiy, hiz = rows[:, c + 3 : c + 4], rows[:, c + 4 : c + 5], rows[:, c + 5 : c + 6]
     tx0 = (_bcast(lox, p_sub) - ox) * ix
@@ -102,7 +115,7 @@ def _slab(rows, c, p_sub, ox, oy, oz, ix, iy, iz, t_min, t_cap):
 def _mt(lrows, L, p_sub, ox, oy, oz, dx, dy, dz, t_min, t_cap):
     """Moller-Trumbore of all K packets against their fetched leaf rows
     (component-major PackedBvh layout, ops/lbvh.py). Returns per-slot-L
-    (hit, t, u, v, prim) each (K*8,128) per slot j in [0,L) as lists."""
+    (hit, t, u, v, prim) lists of (K*p_sub,128) arrays."""
     hits, ts, us, vs, prims = [], [], [], [], []
     for j in range(L):
 
@@ -156,6 +169,19 @@ def _packet_reduce_min(x, p_sub):
     return jnp.min(lanes.reshape(p_sub, K), axis=0)
 
 
+def _phase_counts(cur_ref):
+    """Scalar census of slot states: (#internal, #waiting-at-leaf)."""
+    n_int = jnp.int32(0)
+    n_leaf = jnp.int32(0)
+    for k in range(K):
+        c = cur_ref[k]
+        n_int = n_int + jnp.where(c >= 0, 1, 0).astype(jnp.int32)
+        n_leaf = n_leaf + jnp.where(
+            jnp.logical_and(c < 0, c > _DONE), 1, 0
+        ).astype(jnp.int32)
+    return n_int, n_leaf
+
+
 def _closest_kernel(
     L,
     depth,
@@ -187,12 +213,11 @@ def _closest_kernel(
     t_min = tmin_ref[:]
 
     # per-slot init: everyone starts at the root; all-dead packets miss both
-    # root children and retire after one iteration
+    # root children and retire after one node phase
     for k in range(K):
         cur_ref[k] = 0
         sp_ref[k] = 0
-    # stale-leaf guard for iteration 1: degenerate rows (prim bits = 0 ->
-    # prim 0 but v0=e1=e2=0 -> det 0 -> no hit)
+    # stale-leaf guard for the first leaf phase: degenerate rows never hit
     lrow_scr[:] = jnp.zeros_like(lrow_scr)
 
     init = (
@@ -207,11 +232,8 @@ def _closest_kernel(
     def cond(state):
         return state[0] < K
 
-    def body(state):
+    def node_iter(state):
         ndone, it, best_t, best_prim, best_u, best_v = state
-        it = it + 1
-
-        # ---- scalar fetch phase: node row or leaf row per live slot
         for k in range(K):
             c = cur_ref[k]
 
@@ -219,14 +241,7 @@ def _closest_kernel(
             def _():
                 nrow_scr[pl.ds(k, 1), :] = nodes_ref[pl.ds(c, 1), :]
 
-            @pl.when(jnp.logical_and(c < 0, c > _DONE))
-            def _():
-                lrow_scr[pl.ds(k, 1), :] = leafs_ref[pl.ds(-c - 1, 1), :]
-
         rows = nrow_scr[:]  # (K,16)
-        lrows = lrow_scr[:]  # (K,10L)
-
-        # ---- node phase: both children, per-packet decision code
         lhit, lt = _slab(rows, 0, p_sub, ox, oy, oz, ix, iy, iz, t_min, best_t)
         rhit, rt = _slab(rows, 6, p_sub, ox, oy, oz, ix, iy, iz, t_min, best_t)
         any_l = _packet_reduce_max(jnp.where(lhit, 1.0, 0.0), p_sub)
@@ -237,21 +252,9 @@ def _closest_kernel(
         left_c = pltpu.bitcast(rows[:, 12:13], jnp.int32)  # (K,1)
         right_c = pltpu.bitcast(rows[:, 13:14], jnp.int32)
 
-        # ---- leaf phase: MT on the fetched (possibly stale -> idempotent)
-        # leaf rows; strict t improvement keeps stale re-evals as no-ops
-        hits, ts, us, vs, prims = _mt(lrows, L, p_sub, ox, oy, oz, dx, dy, dz, t_min, best_t)
-        for j in range(L):
-            take = hits[j] & (ts[j] < best_t)
-            best_t = jnp.where(take, ts[j], best_t)
-            best_prim = jnp.where(take, prims[j], best_prim)
-            best_u = jnp.where(take, us[j], best_u)
-            best_v = jnp.where(take, vs[j], best_v)
-
-        # ---- scalar advance phase
         for k in range(K):
             c = cur_ref[k]
             was_int = c >= 0
-            live = c > _DONE
 
             hit_l = any_l[k] > 0.0
             hit_r = any_r[k] > 0.0
@@ -265,33 +268,74 @@ def _closest_kernel(
 
             sp_k = sp_ref[k]
 
-            @pl.when(jnp.logical_and(live, both))
+            @pl.when(both)
             def _():
                 stack_ref[k, sp_k] = far
 
             sp2 = jnp.where(both, sp_k + 1, sp_k)
-            # next node: descend / single child / pop
-            want_pop = jnp.logical_and(live, jnp.logical_not(jnp.logical_or(both, one)))
+            want_pop = jnp.logical_and(
+                was_int, jnp.logical_not(jnp.logical_or(both, one))
+            )
             can_pop = jnp.logical_and(want_pop, sp2 > 0)
             spm = jnp.maximum(sp2 - 1, 0)
             popped = stack_ref[k, spm]
             nxt = jnp.where(
                 both, near, jnp.where(one, single, jnp.where(can_pop, popped, _DONE))
             )
-            nxt = jnp.where(live, nxt, _DONE)
-            retired = jnp.logical_and(live, nxt == _DONE)
+            nxt = jnp.where(was_int, nxt, c)  # leaf-waiting / done slots stall
+            retired = jnp.logical_and(was_int, nxt == _DONE)
             ndone = ndone + jnp.where(retired, 1, 0).astype(jnp.int32)
             cur_ref[k] = nxt
             sp_ref[k] = jnp.where(can_pop, spm, sp2)
 
-        return ndone, it, best_t, best_prim, best_u, best_v
+        return ndone, it + 1, best_t, best_prim, best_u, best_v
+
+    def leaf_iter(state):
+        ndone, it, best_t, best_prim, best_u, best_v = state
+        for k in range(K):
+            c = cur_ref[k]
+
+            @pl.when(jnp.logical_and(c < 0, c > _DONE))
+            def _():
+                lrow_scr[pl.ds(k, 1), :] = leafs_ref[pl.ds(-c - 1, 1), :]
+
+        lrows = lrow_scr[:]  # (K,10L) — stale rows re-test as no-ops
+        hits, ts, us, vs, prims = _mt(
+            lrows, L, p_sub, ox, oy, oz, dx, dy, dz, t_min, best_t
+        )
+        for j in range(L):
+            take = hits[j] & (ts[j] < best_t)
+            best_t = jnp.where(take, ts[j], best_t)
+            best_prim = jnp.where(take, prims[j], best_prim)
+            best_u = jnp.where(take, us[j], best_u)
+            best_v = jnp.where(take, vs[j], best_v)
+
+        for k in range(K):
+            c = cur_ref[k]
+            at_leaf = jnp.logical_and(c < 0, c > _DONE)
+            sp_k = sp_ref[k]
+            can_pop = jnp.logical_and(at_leaf, sp_k > 0)
+            spm = jnp.maximum(sp_k - 1, 0)
+            popped = stack_ref[k, spm]
+            nxt = jnp.where(at_leaf, jnp.where(can_pop, popped, _DONE), c)
+            retired = jnp.logical_and(at_leaf, nxt == _DONE)
+            ndone = ndone + jnp.where(retired, 1, 0).astype(jnp.int32)
+            cur_ref[k] = nxt
+            sp_ref[k] = jnp.where(can_pop, spm, sp_k)
+
+        return ndone, it + 1, best_t, best_prim, best_u, best_v
+
+    def body(state):
+        n_int, n_leaf = _phase_counts(cur_ref)
+        do_leaf = jnp.logical_or(n_leaf >= LEAF_THRESH, n_int == 0)
+        return jax.lax.cond(do_leaf, leaf_iter, node_iter, state)
 
     _, it, best_t, best_prim, best_u, best_v = jax.lax.while_loop(cond, body, init)
     t_out[:] = best_t
     prim_out[:] = best_prim
     u_out[:] = best_u
     v_out[:] = best_v
-    it_out[:] = jnp.full((p_sub, P_LANE), it, jnp.int32)
+    it_out[:] = jnp.full((8, P_LANE), it, jnp.int32)
 
 
 def _any_kernel(
@@ -340,10 +384,8 @@ def _any_kernel(
     def cond(state):
         return state[0] < K
 
-    def body(state):
+    def node_iter(state):
         ndone, it, occ = state
-        it = it + 1
-
         for k in range(K):
             c = cur_ref[k]
 
@@ -351,34 +393,20 @@ def _any_kernel(
             def _():
                 nrow_scr[pl.ds(k, 1), :] = nodes_ref[pl.ds(c, 1), :]
 
-            @pl.when(jnp.logical_and(c < 0, c > _DONE))
-            def _():
-                lrow_scr[pl.ds(k, 1), :] = leafs_ref[pl.ds(-c - 1, 1), :]
-
         rows = nrow_scr[:]
-        lrows = lrow_scr[:]
-
-        # node phase: skip subtrees for already-occluded rays via t_cap<=0
+        # skip subtrees for already-occluded rays via t_cap<=0
         t_cap = jnp.where(occ > 0.0, -_BIG, t_max)
         lhit, _ = _slab(rows, 0, p_sub, ox, oy, oz, ix, iy, iz, t_min, t_cap)
         rhit, _ = _slab(rows, 6, p_sub, ox, oy, oz, ix, iy, iz, t_min, t_cap)
         any_l = _packet_reduce_max(jnp.where(lhit, 1.0, 0.0), p_sub)
         any_r = _packet_reduce_max(jnp.where(rhit, 1.0, 0.0), p_sub)
-        left_c = pltpu.bitcast(rows[:, 12:13], jnp.int32)  # (K,1)
+        left_c = pltpu.bitcast(rows[:, 12:13], jnp.int32)
         right_c = pltpu.bitcast(rows[:, 13:14], jnp.int32)
-
-        # leaf phase
-        hits, _, _, _, _ = _mt(lrows, L, p_sub, ox, oy, oz, dx, dy, dz, t_min, t_max)
-        newly = hits[0]
-        for j in range(1, L):
-            newly = newly | hits[j]
-        occ = jnp.maximum(occ, jnp.where(newly, 1.0, 0.0))
-        all_done = _packet_reduce_min(occ, p_sub)  # (K,) 1.0 if whole packet occluded
+        all_done = _packet_reduce_min(occ, p_sub)  # 1.0 = whole packet occluded
 
         for k in range(K):
             c = cur_ref[k]
             was_int = c >= 0
-            live = c > _DONE
 
             hit_l = any_l[k] > 0.0
             hit_r = any_r[k] > 0.0
@@ -389,30 +417,75 @@ def _any_kernel(
 
             sp_k = sp_ref[k]
 
-            @pl.when(jnp.logical_and(live, both))
+            @pl.when(both)
             def _():
                 stack_ref[k, sp_k] = rk  # no ordering needed for any-hit
 
             sp2 = jnp.where(both, sp_k + 1, sp_k)
             early = all_done[k] > 0.0
-            want_pop = jnp.logical_and(live, jnp.logical_not(jnp.logical_or(both, one)))
-            can_pop = jnp.logical_and(want_pop, sp2 > 0)
+            want_pop = jnp.logical_and(
+                was_int, jnp.logical_not(jnp.logical_or(both, one))
+            )
+            can_pop = jnp.logical_and(
+                jnp.logical_and(want_pop, jnp.logical_not(early)), sp2 > 0
+            )
             spm = jnp.maximum(sp2 - 1, 0)
             popped = stack_ref[k, spm]
             nxt = jnp.where(
                 both, lk, jnp.where(one, single, jnp.where(can_pop, popped, _DONE))
             )
-            nxt = jnp.where(jnp.logical_and(live, jnp.logical_not(early)), nxt, _DONE)
-            retired = jnp.logical_and(live, nxt == _DONE)
+            nxt = jnp.where(was_int, nxt, c)
+            nxt = jnp.where(jnp.logical_and(was_int, early), _DONE, nxt)
+            retired = jnp.logical_and(was_int, nxt == _DONE)
             ndone = ndone + jnp.where(retired, 1, 0).astype(jnp.int32)
             cur_ref[k] = nxt
             sp_ref[k] = jnp.where(can_pop, spm, sp2)
 
-        return ndone, it, occ
+        return ndone, it + 1, occ
+
+    def leaf_iter(state):
+        ndone, it, occ = state
+        for k in range(K):
+            c = cur_ref[k]
+
+            @pl.when(jnp.logical_and(c < 0, c > _DONE))
+            def _():
+                lrow_scr[pl.ds(k, 1), :] = leafs_ref[pl.ds(-c - 1, 1), :]
+
+        lrows = lrow_scr[:]
+        hits, _, _, _, _ = _mt(lrows, L, p_sub, ox, oy, oz, dx, dy, dz, t_min, t_max)
+        newly = hits[0]
+        for j in range(1, L):
+            newly = newly | hits[j]
+        occ = jnp.maximum(occ, jnp.where(newly, 1.0, 0.0))
+        all_done = _packet_reduce_min(occ, p_sub)
+
+        for k in range(K):
+            c = cur_ref[k]
+            at_leaf = jnp.logical_and(c < 0, c > _DONE)
+            early = all_done[k] > 0.0
+            sp_k = sp_ref[k]
+            can_pop = jnp.logical_and(
+                jnp.logical_and(at_leaf, jnp.logical_not(early)), sp_k > 0
+            )
+            spm = jnp.maximum(sp_k - 1, 0)
+            popped = stack_ref[k, spm]
+            nxt = jnp.where(at_leaf, jnp.where(can_pop, popped, _DONE), c)
+            retired = jnp.logical_and(at_leaf, nxt == _DONE)
+            ndone = ndone + jnp.where(retired, 1, 0).astype(jnp.int32)
+            cur_ref[k] = nxt
+            sp_ref[k] = jnp.where(can_pop, spm, sp_k)
+
+        return ndone, it + 1, occ
+
+    def body(state):
+        n_int, n_leaf = _phase_counts(cur_ref)
+        do_leaf = jnp.logical_or(n_leaf >= LEAF_THRESH, n_int == 0)
+        return jax.lax.cond(do_leaf, leaf_iter, node_iter, state)
 
     _, it, occ = jax.lax.while_loop(cond, body, init)
     occ_out[:] = occ > 0.0
-    it_out[:] = jnp.full((p_sub, P_LANE), it, jnp.int32)
+    it_out[:] = jnp.full((8, P_LANE), it, jnp.int32)
 
 
 def _pack_rays(x, G, p_sub):
@@ -450,9 +523,7 @@ def _table_specs():
     ]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("L", "depth", "G", "p_sub", "interpret")
-)
+@functools.partial(jax.jit, static_argnames=("L", "depth", "G", "p_sub", "interpret"))
 def _closest_call(nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax, *, L, depth, G, p_sub, interpret=False):
     shape = (G * K * p_sub, P_LANE)
     return pl.pallas_call(
@@ -463,13 +534,13 @@ def _closest_call(nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax, *, L, depth,
             pl.BlockSpec((K * p_sub, P_LANE), lambda g: (g, 0), memory_space=pltpu.VMEM)
             for _ in range(4)
         ]
-        + [pl.BlockSpec((p_sub, P_LANE), lambda g: (g, 0), memory_space=pltpu.VMEM)],
+        + [pl.BlockSpec((8, P_LANE), lambda g: (g, 0), memory_space=pltpu.VMEM)],
         out_shape=[
             jax.ShapeDtypeStruct(shape, jnp.float32),
             jax.ShapeDtypeStruct(shape, jnp.int32),
             jax.ShapeDtypeStruct(shape, jnp.float32),
             jax.ShapeDtypeStruct(shape, jnp.float32),
-            jax.ShapeDtypeStruct((G * p_sub, P_LANE), jnp.int32),
+            jax.ShapeDtypeStruct((G * 8, P_LANE), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((K, 16), jnp.float32),
@@ -485,9 +556,7 @@ def _closest_call(nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax, *, L, depth,
     )(nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("L", "depth", "G", "p_sub", "interpret")
-)
+@functools.partial(jax.jit, static_argnames=("L", "depth", "G", "p_sub", "interpret"))
 def _any_call(nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax, *, L, depth, G, p_sub, interpret=False):
     shape = (G * K * p_sub, P_LANE)
     return pl.pallas_call(
@@ -497,10 +566,10 @@ def _any_call(nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax, *, L, depth, G, 
         out_specs=[
             pl.BlockSpec((K * p_sub, P_LANE), lambda g: (g, 0), memory_space=pltpu.VMEM)
         ]
-        + [pl.BlockSpec((p_sub, P_LANE), lambda g: (g, 0), memory_space=pltpu.VMEM)],
+        + [pl.BlockSpec((8, P_LANE), lambda g: (g, 0), memory_space=pltpu.VMEM)],
         out_shape=[
             jax.ShapeDtypeStruct(shape, jnp.bool_),
-            jax.ShapeDtypeStruct((G * p_sub, P_LANE), jnp.int32),
+            jax.ShapeDtypeStruct((G * 8, P_LANE), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((K, 16), jnp.float32),
@@ -530,7 +599,10 @@ def packet_eligible(pbvh: PackedBvh) -> bool:
     return table_bytes <= VMEM_TABLE_BUDGET
 
 
-def traverse_closest_packet(pbvh: PackedBvh, orig, dir, t_min, active, t_max=None, interpret=False, return_iters=False, p_sub=DEFAULT_P_SUB):
+def traverse_closest_packet(
+    pbvh: PackedBvh, orig, dir, t_min, active, t_max=None,
+    interpret=False, return_iters=False, p_sub=DEFAULT_P_SUB,
+):
     """Closest-hit packet traversal. Same contract as
     ops.traverse.traverse_closest_blocked: returns (t, prim, u, v) with
     prim=-1 on miss. Rays should be pre-sorted (ray_sort_perm) for packet
@@ -562,7 +634,7 @@ def traverse_closest_packet(pbvh: PackedBvh, orig, dir, t_min, active, t_max=Non
         interpret=interpret,
     )
     if return_iters:
-        return iters[::p_sub, 0]
+        return iters[::8, 0]
     t = _unpack_rays(t, R, p_sub)
     prim = _unpack_rays(prim, R, p_sub)
     u = _unpack_rays(u, R, p_sub)
@@ -576,7 +648,10 @@ def traverse_closest_packet(pbvh: PackedBvh, orig, dir, t_min, active, t_max=Non
     )
 
 
-def traverse_any_packet(pbvh: PackedBvh, orig, dir, t_min, t_max, mask, interpret=False, return_iters=False, p_sub=DEFAULT_P_SUB):
+def traverse_any_packet(
+    pbvh: PackedBvh, orig, dir, t_min, t_max, mask,
+    interpret=False, return_iters=False, p_sub=DEFAULT_P_SUB,
+):
     """Any-hit packet traversal. Same contract as traverse_any_blocked:
     returns (R,) bool occluded."""
     R = orig.shape[0]
@@ -605,5 +680,5 @@ def traverse_any_packet(pbvh: PackedBvh, orig, dir, t_min, t_max, mask, interpre
         interpret=interpret,
     )
     if return_iters:
-        return iters[::p_sub, 0]
+        return iters[::8, 0]
     return _unpack_rays(occ, R, p_sub) & mask
