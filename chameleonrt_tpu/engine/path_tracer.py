@@ -104,20 +104,14 @@ def _sample_direct_light(
     f2_nonzero = jnp.any(f2 != 0.0, axis=-1)
     shoot = active & f2_nonzero & (pdf2 >= EPSILON) & qhit & (light_pdf2 >= EPSILON)
 
-    # --- ONE fused occlusion traversal for both MIS branches: the two
-    # shadow-ray sets stack into 2R lanes so one lockstep while_loop covers
-    # them (half the fixed per-traversal cost; the sparse bsdf-branch rays
-    # ride along with the dense light-branch ones).
-    occ = trace_any(
-        flat,
-        jnp.concatenate([hit_p, hit_p]),
-        jnp.concatenate([light_dir, w_i]),
-        jnp.concatenate([light_dist, t_light]),
-        jnp.concatenate([active, shoot]),
-    )
-    R = hit_p.shape[0]
-    occluded1 = occ[:R]
-    occluded2 = occ[R:]
+    # --- Two occlusion traversals, one per MIS branch. The light-branch
+    # rays inherit the wavefront's per-bounce sort (origins in Morton
+    # order, directions converging on the light) so its packets are
+    # coherent; stacking the sparse, direction-incoherent bsdf-branch rays
+    # into the same call (the round-1 fused-2R form) would destroy that
+    # coherence for the packet kernels.
+    occluded1 = trace_any(flat, hit_p, light_dir, light_dist, active)
+    occluded2 = trace_any(flat, hit_p, w_i, t_light, shoot)
 
     f1 = bsdf_ops.disney_brdf(mat, n, w_o, light_dir, v_x, v_y)
     w1 = power_heuristic(1.0, light_pdf, 1.0, b_pdf)

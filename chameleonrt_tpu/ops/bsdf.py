@@ -458,15 +458,24 @@ def sample_disney_brdf(mat: MaterialBatch, n, w_o, v_x, v_y, rng_state):
     w_i_t = refract(-w_o, w_h_t, eta)
     t_valid = dot(w_i_t, w_i_t) > 0.0
 
-    w_i = jnp.choose(
-        jnp.clip(component, 0, 3)[..., None],
-        [w_i_diffuse, w_i_micro, w_i_cc, w_i_t],
-        mode="clip",
+    # Component select via a where-chain, NOT jnp.choose: choose lowers to
+    # a gather over the stacked (4, R, 3) lobe array, and XLA:TPU gathers
+    # run ~12 ns/row sequentially (~35 ms per call at 921K lanes, two calls
+    # per bounce — measured as the largest non-traversal op in the frame).
+    c = component[..., None]
+    w_i = jnp.where(
+        c == 0,
+        w_i_diffuse,
+        jnp.where(c == 1, w_i_micro, jnp.where(c == 2, w_i_cc, w_i_t)),
     )
-    valid = jnp.choose(
-        component,
-        [jnp.ones_like(micro_valid), micro_valid, cc_valid, t_valid],
-        mode="clip",
+    valid = jnp.where(
+        component == 0,
+        jnp.ones_like(micro_valid),
+        jnp.where(
+            component == 1,
+            micro_valid,
+            jnp.where(component == 2, cc_valid, t_valid),
+        ),
     )
 
     pdf = disney_pdf(mat, n, w_o, w_i, v_x, v_y)
