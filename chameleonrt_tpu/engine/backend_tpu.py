@@ -24,9 +24,12 @@ class TpuBackend(JaxRenderBackend):
         return "TPU wavefront (LBVH)"
 
     def prepare_scene(self, scene: Scene):
-        flat, meta = build_device_scene(scene)
-        flat = flat._replace(blas=build_blas_set(flat, meta))
-        flat = flat._replace(inst_aabb=compute_instance_aabbs(flat, meta))
+        # want_host: the BVH builds from the host-side triangle arrays —
+        # reading them back from the device costs ~20 s/array through the
+        # axon tunnel (measured 96 s of a 99 s set_scene).
+        flat, meta, host_tris = build_device_scene(scene, want_host=True)
+        flat = flat._replace(blas=build_blas_set(flat, meta, host_tris))
+        flat = flat._replace(inst_aabb=compute_instance_aabbs(flat, meta, host_tris))
         return flat, meta
 
     def make_trace_fns(self, meta):

@@ -69,6 +69,19 @@ class FlatScene(NamedTuple):
     inst_aabb: jnp.ndarray = jnp.zeros((0, 6), jnp.float32)
 
 
+class HostScene(NamedTuple):
+    """Host-side (numpy) mirror of the arrays the BVH-build phase needs.
+    Device→host readbacks through the axon tunnel stall unpredictably
+    (measured 19-62 s even for KB-sized arrays), so set_scene must never
+    read anything back; it builds from this mirror instead."""
+
+    tri_v0: "np.ndarray"
+    tri_e1: "np.ndarray"
+    tri_e2: "np.ndarray"
+    inst_transform: "np.ndarray"
+    inst_inv: "np.ndarray"
+
+
 @dataclass(frozen=True)
 class SceneMeta:
     """Hashable static structure for jit specialization."""
@@ -91,7 +104,11 @@ class SceneMeta:
         return self.num_instances == 1
 
 
-def build_device_scene(scene: Scene) -> Tuple[FlatScene, SceneMeta]:
+def build_device_scene(scene: Scene, want_host: bool = False):
+    """Flatten + upload. With want_host=True also returns the host-side
+    (v0, e1, e2) numpy triple for the BVH builder — reading triangles BACK
+    from the device costs ~20 s/array through the axon tunnel, so set_scene
+    must never round-trip them (measured: 96 s of a 99 s set_scene)."""
     if not scene.meshes or scene.total_tris() == 0 or not scene.instances:
         raise ValueError(
             "scene has no renderable geometry (no meshes/instances/triangles)"
@@ -271,6 +288,8 @@ def build_device_scene(scene: Scene) -> Tuple[FlatScene, SceneMeta]:
             for c in (0, *range(3, 14))
         ),
     )
+    if want_host:
+        return flat, meta, HostScene(tri_v0, tri_e1, tri_e2, inst_transform, inst_inv)
     return flat, meta
 
 

@@ -82,7 +82,9 @@ def _pad_rows(a, n: int):
     return np.pad(a, ((0, n - a.shape[0]), (0, 0)))
 
 
-def build_blas_set(flat: FlatScene, meta: SceneMeta) -> Tuple[BlasPair, ...]:
+def build_blas_set(
+    flat: FlatScene, meta: SceneMeta, host_tris=None
+) -> Tuple[BlasPair, ...]:
     """Build one packed BVH pair per mesh over its triangle range (the
     set_scene BLAS-build phase, reference render_optix.cpp:134-172, minus
     vendor APIs). Leaf prim ids are LOCAL to the mesh range.
@@ -96,20 +98,24 @@ def build_blas_set(flat: FlatScene, meta: SceneMeta) -> Tuple[BlasPair, ...]:
 
     Row counts / triangle ranges are padded to bucketed sizes so the render
     graph compiles once per bucket instead of once per mesh size — fresh
-    compiles through the TPU tunnel run minutes each."""
+    compiles through the TPU tunnel run minutes each.
+
+    host_tris: optional host-side (v0, e1, e2) numpy triple from
+    build_device_scene(want_host=True). Without it the triangles are read
+    back from the device — ~20 s per array through the axon tunnel, so
+    every perf-relevant caller must pass it."""
     import numpy as np
 
     from chameleonrt_tpu import native
     from chameleonrt_tpu.ops.lbvh import LEAF_SIZE
 
     if meta.num_instances > 1:
-        unified = build_unified_set(flat, meta)
+        unified = build_unified_set(flat, meta, host_tris)
         if unified is not None:
             return (unified,)
 
     build_jit = None
     blas = []
-    host_tris = None
     for start, count in meta.mesh_tri_ranges:
         if native.get_lib() is not None and count > 0:
             if host_tris is None:
@@ -179,7 +185,7 @@ def _rebase_codes(nodes: "np.ndarray", arity: int, node_off: int, leaf_map):
     nodes[:, cols] = codes.view(np.float32)
 
 
-def build_unified_set(flat: FlatScene, meta: SceneMeta):
+def build_unified_set(flat: FlatScene, meta: SceneMeta, host_tris=None):
     """Assemble the two-level UnifiedBvh pair for a multi-instance scene:
     native SAH BLAS per mesh + native SAH TLAS over instance world AABBs
     (leaf_size=1, built over degenerate 'box triangles'), all fused into
@@ -195,9 +201,12 @@ def build_unified_set(flat: FlatScene, meta: SceneMeta):
     if native.get_lib() is None:
         return None
 
-    v0 = np.asarray(flat.tri_v0)
-    e1 = np.asarray(flat.tri_e1)
-    e2 = np.asarray(flat.tri_e2)
+    if host_tris is not None:
+        v0, e1, e2 = host_tris[:3]
+    else:
+        v0 = np.asarray(flat.tri_v0)
+        e1 = np.asarray(flat.tri_e1)
+        e2 = np.asarray(flat.tri_e2)
 
     # --- per-mesh BLAS builds
     mesh_parts = []  # (nodes2, nodes4, leaf_rows, depth2, stack4)
@@ -234,8 +243,14 @@ def build_unified_set(flat: FlatScene, meta: SceneMeta):
     n_tri_leaves = off
 
     # instance AABBs from per-mesh root boxes pushed through transforms
-    inst_tf = np.asarray(flat.inst_transform)
-    inst_inv = np.asarray(flat.inst_inv)
+    from chameleonrt_tpu.engine.device_scene import HostScene
+
+    if isinstance(host_tris, HostScene):
+        inst_tf = host_tris.inst_transform
+        inst_inv = host_tris.inst_inv
+    else:
+        inst_tf = np.asarray(flat.inst_transform)
+        inst_inv = np.asarray(flat.inst_inv)
     inst_aabb = np.zeros((I, 6), np.float32)
     for i, mesh_id in enumerate(meta.inst_mesh):
         part = mesh_parts[mesh_id]
@@ -331,16 +346,54 @@ def build_unified_set(flat: FlatScene, meta: SceneMeta):
     return UnifiedPair(closest=out[2], any=out[4], inst_aabb=jnp.asarray(inst_aabb))
 
 
-def compute_instance_aabbs(flat: FlatScene, meta: SceneMeta) -> jnp.ndarray:
-    """World-space AABB per instance (I, 6): the BLAS root box (union of the
-    packed root row's two child boxes) pushed through the instance transform
-    via its 8 corners. Used for per-ray instance culling."""
+def compute_instance_aabbs(
+    flat: FlatScene, meta: SceneMeta, host_tris=None
+) -> jnp.ndarray:
+    """World-space AABB per instance (I, 6): the mesh bound (BLAS root box)
+    pushed through the instance transform via its 8 corners. Used for
+    per-ray instance culling.
+
+    With host_tris (the numpy triple from build_device_scene) the mesh
+    bounds come from the host triangles — identical to the BLAS root box
+    and avoids a per-mesh device readback + slice-op compile (~3 s through
+    the axon tunnel even for one row)."""
     import numpy as np
 
     if flat.blas and isinstance(flat.blas[0], UnifiedPair):
         return flat.blas[0].inst_aabb
 
     out = np.zeros((meta.num_instances, 6), np.float32)
+    if host_tris is not None:
+        v0, e1, e2 = host_tris[:3]
+        mesh_box = {}
+        for mesh_id, (start, count) in enumerate(meta.mesh_tri_ranges):
+            if count == 0:
+                mesh_box[mesh_id] = (np.zeros(3, np.float32), np.zeros(3, np.float32))
+                continue
+            a = v0[start : start + count]
+            b = a + e1[start : start + count]
+            c = a + e2[start : start + count]
+            lo = np.minimum(np.minimum(a.min(0), b.min(0)), c.min(0))
+            hi = np.maximum(np.maximum(a.max(0), b.max(0)), c.max(0))
+            mesh_box[mesh_id] = (lo, hi)
+        from chameleonrt_tpu.engine.device_scene import HostScene
+
+        if isinstance(host_tris, HostScene):
+            tf = host_tris.inst_transform
+        else:
+            tf = np.asarray(flat.inst_transform)
+        for inst_id, mesh_id in enumerate(meta.inst_mesh):
+            lo, hi = mesh_box[mesh_id]
+            corners = np.array(
+                [[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1]) for z in (lo[2], hi[2])],
+                np.float32,
+            )
+            m = tf[inst_id]
+            wc = corners @ m[:3, :3].T + m[:3, 3]
+            out[inst_id, 0:3] = wc.min(axis=0)
+            out[inst_id, 3:6] = wc.max(axis=0)
+        return jnp.asarray(out)
+
     for inst_id, mesh_id in enumerate(meta.inst_mesh):
         pbvh = flat.blas[mesh_id].closest
         root = np.asarray(pbvh.nodes[0])
