@@ -109,13 +109,17 @@ def _sample_direct_light(
     # order, directions converging on the light) so its packets are
     # coherent; stacking the sparse, direction-incoherent bsdf-branch rays
     # into the same call (the round-1 fused-2R form) would destroy that
-    # coherence for the packet kernels.
-    occluded1 = trace_any(flat, hit_p, light_dir, light_dist, active)
+    # coherence for the packet kernels. Lanes whose MIS weight is provably
+    # zero (either pdf below epsilon) skip the shadow ray entirely, as the
+    # reference does (render_embree.ispc:142-147 shoots only after the pdf
+    # checks pass).
+    shoot1 = active & (light_pdf >= EPSILON) & (b_pdf >= EPSILON)
+    occluded1 = trace_any(flat, hit_p, light_dir, light_dist, shoot1)
     occluded2 = trace_any(flat, hit_p, w_i, t_light, shoot)
 
     f1 = bsdf_ops.disney_brdf(mat, n, w_o, light_dir, v_x, v_y)
     w1 = power_heuristic(1.0, light_pdf, 1.0, b_pdf)
-    take1 = active & (light_pdf >= EPSILON) & (b_pdf >= EPSILON) & ~occluded1
+    take1 = shoot1 & ~occluded1
     contrib1 = jnp.where(
         take1[..., None],
         f1
@@ -136,7 +140,7 @@ def _sample_direct_light(
         0.0,
     )
 
-    rays = active.astype(jnp.int32).sum() + shoot.astype(jnp.int32).sum()
+    rays = shoot1.astype(jnp.int32).sum() + shoot.astype(jnp.int32).sum()
     return state, contrib1 + contrib2, rays
 
 

@@ -68,6 +68,10 @@ DEFAULT_P_SUB = 2  # sublane rows per packet (packet = P_SUB * 128 rays)
 LEAF_THRESH = 16
 
 _DONE = -(1 << 30)  # scalar sentinel: slot finished (any leaf code > _DONE)
+# persistent kernels: slot just retired its packet and awaits the batched
+# swap block (same body iteration). Collides with leaf id (1<<30)-2 only,
+# far beyond any real leaf-table size.
+_RETIRE = _DONE + 1
 _MT_EPS = 1e-9
 _BIG = 1e30
 
@@ -488,14 +492,16 @@ def _any_kernel(
     it_out[:] = jnp.full((8, P_LANE), it, jnp.int32)
 
 
-def _pack_rays(x, G, p_sub):
-    """(R,) f32 -> (G*K*p_sub, 128), zero-padded, INTERLEAVED per group:
-    the contiguous packet k of group g lands on rows {g*K*p_sub + k + j*K}
-    so that tile-semantics pltpu.repeat broadcasts packet columns correctly
-    (see _bcast)."""
+def _pack_rays(x, G, p_sub, pad_value=0.0):
+    """(R,) f32 -> (G*K*p_sub, 128), INTERLEAVED per group: the contiguous
+    packet k of group g lands on rows {g*K*p_sub + k + j*K} so that
+    tile-semantics pltpu.repeat broadcasts packet columns correctly
+    (see _bcast). Tail padded with pad_value — origins pad with _BIG so
+    padding lanes slab-MISS instead of becoming dir=0 degenerate rays that
+    hit every node whose box straddles the origin."""
     need = G * K * p_sub * P_LANE
     if x.shape[0] < need:
-        x = jnp.pad(x, (0, need - x.shape[0]))
+        x = jnp.pad(x, (0, need - x.shape[0]), constant_values=pad_value)
     x = x.reshape(G, K, p_sub, P_LANE).swapaxes(1, 2)
     return x.reshape(G * K * p_sub, P_LANE)
 
@@ -585,6 +591,702 @@ def _any_call(nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax, *, L, depth, G, 
     )(nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax)
 
 
+def _persistent_closest_kernel(
+    L,
+    depth,
+    p_sub,
+    n_packets,
+    nodes_ref,
+    leafs_ref,
+    ox_ref,
+    oy_ref,
+    oz_ref,
+    dx_ref,
+    dy_ref,
+    dz_ref,
+    tmin_ref,
+    tmax_ref,
+    t_out,
+    prim_out,
+    u_out,
+    v_out,
+    it_out,
+    w_ox,
+    w_oy,
+    w_oz,
+    w_dx,
+    w_dy,
+    w_dz,
+    w_ix,
+    w_iy,
+    w_iz,
+    w_tmin,
+    bt_scr,
+    bp_scr,
+    bu_scr,
+    bv_scr,
+    nrow_scr,
+    lrow_scr,
+    stack_ref,
+    cur_ref,
+    sp_ref,
+    slotpkt_ref,
+    queue_ref,
+):
+    """Persistent work-queue variant of the closest-hit packet kernel.
+
+    The grid version retires each group of K packets together, so every
+    group waits on its slowest packet (measured group-iteration spread
+    1..3925 on the hall bounce wavefront). Here ALL packets' rays live in
+    VMEM (packet-major rows) and each of the K resident slots pulls the
+    next packet id from an SMEM queue the moment its packet retires:
+    write back the slot's best rows, fetch the new packet's ray rows into
+    the interleaved working block, reset its best rows, restart at the
+    root. Total iterations approach sum(per-packet visits)/K instead of
+    sum(per-group maxes). Slot state that the vector phases read
+    (rays, best hit) lives in VMEM scratch rather than loop carry so
+    swaps are scalar-side row stores."""
+    # --- initial fill: slots 0..min(K,n_packets)-1 take packets 0..
+    for k in range(K):
+        if k < min(K, n_packets):
+            slotpkt_ref[k] = k
+            cur_ref[k] = 0
+            sp_ref[k] = 0
+            for j in range(p_sub):
+                wrow = k + j * K
+                src = k * p_sub + j
+                dxr = dx_ref[pl.ds(src, 1), :]
+                dyr = dy_ref[pl.ds(src, 1), :]
+                dzr = dz_ref[pl.ds(src, 1), :]
+                w_ox[pl.ds(wrow, 1), :] = ox_ref[pl.ds(src, 1), :]
+                w_oy[pl.ds(wrow, 1), :] = oy_ref[pl.ds(src, 1), :]
+                w_oz[pl.ds(wrow, 1), :] = oz_ref[pl.ds(src, 1), :]
+                w_dx[pl.ds(wrow, 1), :] = dxr
+                w_dy[pl.ds(wrow, 1), :] = dyr
+                w_dz[pl.ds(wrow, 1), :] = dzr
+                w_ix[pl.ds(wrow, 1), :] = 1.0 / dxr
+                w_iy[pl.ds(wrow, 1), :] = 1.0 / dyr
+                w_iz[pl.ds(wrow, 1), :] = 1.0 / dzr
+                w_tmin[pl.ds(wrow, 1), :] = tmin_ref[pl.ds(src, 1), :]
+                bt_scr[pl.ds(wrow, 1), :] = jnp.minimum(
+                    jnp.full((1, P_LANE), 1e20, jnp.float32),
+                    tmax_ref[pl.ds(src, 1), :],
+                )
+                bp_scr[pl.ds(wrow, 1), :] = jnp.full((1, P_LANE), -1, jnp.int32)
+                bu_scr[pl.ds(wrow, 1), :] = jnp.zeros((1, P_LANE), jnp.float32)
+                bv_scr[pl.ds(wrow, 1), :] = jnp.zeros((1, P_LANE), jnp.float32)
+        else:
+            slotpkt_ref[k] = -1
+            cur_ref[k] = _DONE
+            sp_ref[k] = 0
+    queue_ref[0] = min(K, n_packets)
+    lrow_scr[:] = jnp.zeros_like(lrow_scr)
+
+    def _swap_block(nret):
+        """Batched retire-and-swap: stepping loops park retiring slots at
+        _RETIRE and count them; the whole (large) swap code block sits
+        behind ONE rarely-taken branch so iterations without a retire pay
+        only the nret check (emitting it per slot inline tripled the
+        per-iteration cost and ate the persistent win)."""
+
+        @pl.when(nret > 0)
+        def _():
+            for k in range(K):
+                c = cur_ref[k]
+                retired = c == _RETIRE
+                p_old = slotpkt_ref[k]
+                for j in range(p_sub):
+                    wrow = k + j * K
+
+                    @pl.when(retired)
+                    def _(j=j, wrow=wrow, p_old=p_old):
+                        dst = p_old * p_sub + j
+                        t_out[pl.ds(dst, 1), :] = bt_scr[pl.ds(wrow, 1), :]
+                        prim_out[pl.ds(dst, 1), :] = bp_scr[pl.ds(wrow, 1), :]
+                        u_out[pl.ds(dst, 1), :] = bu_scr[pl.ds(wrow, 1), :]
+                        v_out[pl.ds(dst, 1), :] = bv_scr[pl.ds(wrow, 1), :]
+
+                q = queue_ref[0]
+                have = jnp.logical_and(retired, q < n_packets)
+
+                @pl.when(have)
+                def _(k=k, q=q):
+                    for j in range(p_sub):
+                        wrow = k + j * K
+                        src = q * p_sub + j
+                        dxr = dx_ref[pl.ds(src, 1), :]
+                        dyr = dy_ref[pl.ds(src, 1), :]
+                        dzr = dz_ref[pl.ds(src, 1), :]
+                        w_ox[pl.ds(wrow, 1), :] = ox_ref[pl.ds(src, 1), :]
+                        w_oy[pl.ds(wrow, 1), :] = oy_ref[pl.ds(src, 1), :]
+                        w_oz[pl.ds(wrow, 1), :] = oz_ref[pl.ds(src, 1), :]
+                        w_dx[pl.ds(wrow, 1), :] = dxr
+                        w_dy[pl.ds(wrow, 1), :] = dyr
+                        w_dz[pl.ds(wrow, 1), :] = dzr
+                        w_ix[pl.ds(wrow, 1), :] = 1.0 / dxr
+                        w_iy[pl.ds(wrow, 1), :] = 1.0 / dyr
+                        w_iz[pl.ds(wrow, 1), :] = 1.0 / dzr
+                        w_tmin[pl.ds(wrow, 1), :] = tmin_ref[pl.ds(src, 1), :]
+                        bt_scr[pl.ds(wrow, 1), :] = jnp.minimum(
+                            jnp.full((1, P_LANE), 1e20, jnp.float32),
+                            tmax_ref[pl.ds(src, 1), :],
+                        )
+                        bp_scr[pl.ds(wrow, 1), :] = jnp.full(
+                            (1, P_LANE), -1, jnp.int32
+                        )
+                        bu_scr[pl.ds(wrow, 1), :] = jnp.zeros(
+                            (1, P_LANE), jnp.float32
+                        )
+                        bv_scr[pl.ds(wrow, 1), :] = jnp.zeros(
+                            (1, P_LANE), jnp.float32
+                        )
+                    slotpkt_ref[k] = q
+                    cur_ref[k] = 0
+                    sp_ref[k] = 0
+                    queue_ref[0] = q + 1
+
+                @pl.when(jnp.logical_and(retired, jnp.logical_not(q < n_packets)))
+                def _(k=k):
+                    slotpkt_ref[k] = -1
+                    cur_ref[k] = _DONE
+
+    init = (jnp.int32(0), jnp.int32(0))  # (packets retired, iterations)
+
+    def cond(state):
+        return state[0] < n_packets
+
+    def node_iter(state):
+        ndone, it = state
+        for k in range(K):
+            c = cur_ref[k]
+
+            @pl.when(c >= 0)
+            def _(k=k):
+                nrow_scr[pl.ds(k, 1), :] = nodes_ref[pl.ds(c, 1), :]
+
+        rows = nrow_scr[:]
+        ox, oy, oz = w_ox[:], w_oy[:], w_oz[:]
+        ix, iy, iz = w_ix[:], w_iy[:], w_iz[:]
+        t_min = w_tmin[:]
+        best_t = bt_scr[:]
+        lhit, lt = _slab(rows, 0, p_sub, ox, oy, oz, ix, iy, iz, t_min, best_t)
+        rhit, rt = _slab(rows, 6, p_sub, ox, oy, oz, ix, iy, iz, t_min, best_t)
+        any_l = _packet_reduce_max(jnp.where(lhit, 1.0, 0.0), p_sub)
+        any_r = _packet_reduce_max(jnp.where(rhit, 1.0, 0.0), p_sub)
+        min_lt = _packet_reduce_min(jnp.where(lhit, lt, _BIG), p_sub)
+        min_rt = _packet_reduce_min(jnp.where(rhit, rt, _BIG), p_sub)
+        l_near_v = jnp.where(min_lt <= min_rt, 1.0, 0.0)
+        left_c = pltpu.bitcast(rows[:, 12:13], jnp.int32)
+        right_c = pltpu.bitcast(rows[:, 13:14], jnp.int32)
+
+        nret = jnp.int32(0)
+        for k in range(K):
+            c = cur_ref[k]
+            was_int = c >= 0
+
+            hit_l = any_l[k] > 0.0
+            hit_r = any_r[k] > 0.0
+            l_near = l_near_v[k] > 0.0
+            lk, rk = left_c[k, 0], right_c[k, 0]
+            near = jnp.where(l_near, lk, rk)
+            far = jnp.where(l_near, rk, lk)
+            both = jnp.logical_and(jnp.logical_and(hit_l, hit_r), was_int)
+            one = jnp.logical_and(jnp.logical_xor(hit_l, hit_r), was_int)
+            single = jnp.where(hit_l, lk, rk)
+
+            sp_k = sp_ref[k]
+
+            @pl.when(both)
+            def _(k=k):
+                stack_ref[k, sp_k] = far
+
+            sp2 = jnp.where(both, sp_k + 1, sp_k)
+            want_pop = jnp.logical_and(
+                was_int, jnp.logical_not(jnp.logical_or(both, one))
+            )
+            can_pop = jnp.logical_and(want_pop, sp2 > 0)
+            spm = jnp.maximum(sp2 - 1, 0)
+            popped = stack_ref[k, spm]
+            nxt = jnp.where(
+                both, near, jnp.where(one, single, jnp.where(can_pop, popped, _DONE))
+            )
+            nxt = jnp.where(was_int, nxt, c)
+            retired = jnp.logical_and(was_int, nxt == _DONE)
+            ndone = ndone + jnp.where(retired, 1, 0).astype(jnp.int32)
+            nret = nret + jnp.where(retired, 1, 0).astype(jnp.int32)
+            cur_ref[k] = jnp.where(retired, _RETIRE, nxt)
+            sp_ref[k] = jnp.where(can_pop, spm, sp2)
+        _swap_block(nret)
+
+        return ndone, it + 1
+
+    def leaf_iter(state):
+        ndone, it = state
+        for k in range(K):
+            c = cur_ref[k]
+
+            @pl.when(jnp.logical_and(c < 0, c > _DONE))
+            def _(k=k):
+                lrow_scr[pl.ds(k, 1), :] = leafs_ref[pl.ds(-c - 1, 1), :]
+
+        lrows = lrow_scr[:]
+        ox, oy, oz = w_ox[:], w_oy[:], w_oz[:]
+        dx, dy, dz = w_dx[:], w_dy[:], w_dz[:]
+        t_min = w_tmin[:]
+        best_t = bt_scr[:]
+        best_prim = bp_scr[:]
+        best_u = bu_scr[:]
+        best_v = bv_scr[:]
+        hits, ts, us, vs, prims = _mt(
+            lrows, L, p_sub, ox, oy, oz, dx, dy, dz, t_min, best_t
+        )
+        for j in range(L):
+            take = hits[j] & (ts[j] < best_t)
+            best_t = jnp.where(take, ts[j], best_t)
+            best_prim = jnp.where(take, prims[j], best_prim)
+            best_u = jnp.where(take, us[j], best_u)
+            best_v = jnp.where(take, vs[j], best_v)
+        bt_scr[:] = best_t
+        bp_scr[:] = best_prim
+        bu_scr[:] = best_u
+        bv_scr[:] = best_v
+
+        nret = jnp.int32(0)
+        for k in range(K):
+            c = cur_ref[k]
+            at_leaf = jnp.logical_and(c < 0, c > _DONE)
+            sp_k = sp_ref[k]
+            can_pop = jnp.logical_and(at_leaf, sp_k > 0)
+            spm = jnp.maximum(sp_k - 1, 0)
+            popped = stack_ref[k, spm]
+            nxt = jnp.where(at_leaf, jnp.where(can_pop, popped, _DONE), c)
+            retired = jnp.logical_and(at_leaf, nxt == _DONE)
+            ndone = ndone + jnp.where(retired, 1, 0).astype(jnp.int32)
+            nret = nret + jnp.where(retired, 1, 0).astype(jnp.int32)
+            cur_ref[k] = jnp.where(retired, _RETIRE, nxt)
+            sp_ref[k] = jnp.where(can_pop, spm, sp_k)
+        _swap_block(nret)
+
+        return ndone, it + 1
+
+    def body(state):
+        n_int, n_leaf = _phase_counts(cur_ref)
+        do_leaf = jnp.logical_or(n_leaf >= LEAF_THRESH, n_int == 0)
+        return jax.lax.cond(do_leaf, leaf_iter, node_iter, state)
+
+    _, it = jax.lax.while_loop(cond, body, init)
+    it_out[:] = jnp.full((8, P_LANE), it, jnp.int32)
+
+
+def _persistent_any_kernel(
+    L,
+    depth,
+    p_sub,
+    n_packets,
+    nodes_ref,
+    leafs_ref,
+    ox_ref,
+    oy_ref,
+    oz_ref,
+    dx_ref,
+    dy_ref,
+    dz_ref,
+    tmin_ref,
+    tmax_ref,
+    occ_out,
+    it_out,
+    w_ox,
+    w_oy,
+    w_oz,
+    w_dx,
+    w_dy,
+    w_dz,
+    w_ix,
+    w_iy,
+    w_iz,
+    w_tmin,
+    w_tmax,
+    occ_scr,
+    nrow_scr,
+    lrow_scr,
+    stack_ref,
+    cur_ref,
+    sp_ref,
+    slotpkt_ref,
+    queue_ref,
+):
+    """Persistent work-queue occlusion kernel (see _persistent_closest_kernel).
+    Per-slot occluded state is a sticky f32 0/1 row in VMEM scratch; a
+    packet early-outs when every ray is occluded (dead rays enter
+    pre-occluded via tmax<=0)."""
+    for k in range(K):
+        if k < min(K, n_packets):
+            slotpkt_ref[k] = k
+            cur_ref[k] = 0
+            sp_ref[k] = 0
+            for j in range(p_sub):
+                wrow = k + j * K
+                src = k * p_sub + j
+                dxr = dx_ref[pl.ds(src, 1), :]
+                dyr = dy_ref[pl.ds(src, 1), :]
+                dzr = dz_ref[pl.ds(src, 1), :]
+                tmx = tmax_ref[pl.ds(src, 1), :]
+                w_ox[pl.ds(wrow, 1), :] = ox_ref[pl.ds(src, 1), :]
+                w_oy[pl.ds(wrow, 1), :] = oy_ref[pl.ds(src, 1), :]
+                w_oz[pl.ds(wrow, 1), :] = oz_ref[pl.ds(src, 1), :]
+                w_dx[pl.ds(wrow, 1), :] = dxr
+                w_dy[pl.ds(wrow, 1), :] = dyr
+                w_dz[pl.ds(wrow, 1), :] = dzr
+                w_ix[pl.ds(wrow, 1), :] = 1.0 / dxr
+                w_iy[pl.ds(wrow, 1), :] = 1.0 / dyr
+                w_iz[pl.ds(wrow, 1), :] = 1.0 / dzr
+                w_tmin[pl.ds(wrow, 1), :] = tmin_ref[pl.ds(src, 1), :]
+                w_tmax[pl.ds(wrow, 1), :] = tmx
+                occ_scr[pl.ds(wrow, 1), :] = jnp.where(tmx <= 0.0, 1.0, 0.0)
+        else:
+            slotpkt_ref[k] = -1
+            cur_ref[k] = _DONE
+            sp_ref[k] = 0
+    queue_ref[0] = min(K, n_packets)
+    lrow_scr[:] = jnp.zeros_like(lrow_scr)
+
+    def _swap_block(nret):
+        """Batched retire-and-swap behind one rarely-taken branch (see
+        _persistent_closest_kernel._swap_block)."""
+
+        @pl.when(nret > 0)
+        def _():
+            for k in range(K):
+                c = cur_ref[k]
+                retired = c == _RETIRE
+                p_old = slotpkt_ref[k]
+                for j in range(p_sub):
+                    wrow = k + j * K
+
+                    @pl.when(retired)
+                    def _(j=j, wrow=wrow, p_old=p_old):
+                        dst = p_old * p_sub + j
+                        occ_out[pl.ds(dst, 1), :] = occ_scr[pl.ds(wrow, 1), :] > 0.0
+
+                q = queue_ref[0]
+                have = jnp.logical_and(retired, q < n_packets)
+
+                @pl.when(have)
+                def _(k=k, q=q):
+                    for j in range(p_sub):
+                        wrow = k + j * K
+                        src = q * p_sub + j
+                        dxr = dx_ref[pl.ds(src, 1), :]
+                        dyr = dy_ref[pl.ds(src, 1), :]
+                        dzr = dz_ref[pl.ds(src, 1), :]
+                        tmx = tmax_ref[pl.ds(src, 1), :]
+                        w_ox[pl.ds(wrow, 1), :] = ox_ref[pl.ds(src, 1), :]
+                        w_oy[pl.ds(wrow, 1), :] = oy_ref[pl.ds(src, 1), :]
+                        w_oz[pl.ds(wrow, 1), :] = oz_ref[pl.ds(src, 1), :]
+                        w_dx[pl.ds(wrow, 1), :] = dxr
+                        w_dy[pl.ds(wrow, 1), :] = dyr
+                        w_dz[pl.ds(wrow, 1), :] = dzr
+                        w_ix[pl.ds(wrow, 1), :] = 1.0 / dxr
+                        w_iy[pl.ds(wrow, 1), :] = 1.0 / dyr
+                        w_iz[pl.ds(wrow, 1), :] = 1.0 / dzr
+                        w_tmin[pl.ds(wrow, 1), :] = tmin_ref[pl.ds(src, 1), :]
+                        w_tmax[pl.ds(wrow, 1), :] = tmx
+                        occ_scr[pl.ds(wrow, 1), :] = jnp.where(tmx <= 0.0, 1.0, 0.0)
+                    slotpkt_ref[k] = q
+                    cur_ref[k] = 0
+                    sp_ref[k] = 0
+                    queue_ref[0] = q + 1
+
+                @pl.when(jnp.logical_and(retired, jnp.logical_not(q < n_packets)))
+                def _(k=k):
+                    slotpkt_ref[k] = -1
+                    cur_ref[k] = _DONE
+
+    init = (jnp.int32(0), jnp.int32(0))
+
+    def cond(state):
+        return state[0] < n_packets
+
+    def node_iter(state):
+        ndone, it = state
+        for k in range(K):
+            c = cur_ref[k]
+
+            @pl.when(c >= 0)
+            def _(k=k):
+                nrow_scr[pl.ds(k, 1), :] = nodes_ref[pl.ds(c, 1), :]
+
+        rows = nrow_scr[:]
+        ox, oy, oz = w_ox[:], w_oy[:], w_oz[:]
+        ix, iy, iz = w_ix[:], w_iy[:], w_iz[:]
+        t_min = w_tmin[:]
+        occ = occ_scr[:]
+        t_cap = jnp.where(occ > 0.0, -_BIG, w_tmax[:])
+        lhit, _ = _slab(rows, 0, p_sub, ox, oy, oz, ix, iy, iz, t_min, t_cap)
+        rhit, _ = _slab(rows, 6, p_sub, ox, oy, oz, ix, iy, iz, t_min, t_cap)
+        any_l = _packet_reduce_max(jnp.where(lhit, 1.0, 0.0), p_sub)
+        any_r = _packet_reduce_max(jnp.where(rhit, 1.0, 0.0), p_sub)
+        left_c = pltpu.bitcast(rows[:, 12:13], jnp.int32)
+        right_c = pltpu.bitcast(rows[:, 13:14], jnp.int32)
+        all_done = _packet_reduce_min(occ, p_sub)
+
+        nret = jnp.int32(0)
+        for k in range(K):
+            c = cur_ref[k]
+            was_int = c >= 0
+
+            hit_l = any_l[k] > 0.0
+            hit_r = any_r[k] > 0.0
+            lk, rk = left_c[k, 0], right_c[k, 0]
+            both = jnp.logical_and(jnp.logical_and(hit_l, hit_r), was_int)
+            one = jnp.logical_and(jnp.logical_xor(hit_l, hit_r), was_int)
+            single = jnp.where(hit_l, lk, rk)
+
+            sp_k = sp_ref[k]
+
+            @pl.when(both)
+            def _(k=k):
+                stack_ref[k, sp_k] = rk
+
+            sp2 = jnp.where(both, sp_k + 1, sp_k)
+            early = all_done[k] > 0.0
+            want_pop = jnp.logical_and(
+                was_int, jnp.logical_not(jnp.logical_or(both, one))
+            )
+            can_pop = jnp.logical_and(
+                jnp.logical_and(want_pop, jnp.logical_not(early)), sp2 > 0
+            )
+            spm = jnp.maximum(sp2 - 1, 0)
+            popped = stack_ref[k, spm]
+            nxt = jnp.where(
+                both, lk, jnp.where(one, single, jnp.where(can_pop, popped, _DONE))
+            )
+            nxt = jnp.where(was_int, nxt, c)
+            nxt = jnp.where(jnp.logical_and(was_int, early), _DONE, nxt)
+            retired = jnp.logical_and(was_int, nxt == _DONE)
+            ndone = ndone + jnp.where(retired, 1, 0).astype(jnp.int32)
+            nret = nret + jnp.where(retired, 1, 0).astype(jnp.int32)
+            cur_ref[k] = jnp.where(retired, _RETIRE, nxt)
+            sp_ref[k] = jnp.where(can_pop, spm, sp2)
+        _swap_block(nret)
+
+        return ndone, it + 1
+
+    def leaf_iter(state):
+        ndone, it = state
+        for k in range(K):
+            c = cur_ref[k]
+
+            @pl.when(jnp.logical_and(c < 0, c > _DONE))
+            def _(k=k):
+                lrow_scr[pl.ds(k, 1), :] = leafs_ref[pl.ds(-c - 1, 1), :]
+
+        lrows = lrow_scr[:]
+        ox, oy, oz = w_ox[:], w_oy[:], w_oz[:]
+        dx, dy, dz = w_dx[:], w_dy[:], w_dz[:]
+        t_min = w_tmin[:]
+        occ = occ_scr[:]
+        hits, _, _, _, _ = _mt(
+            lrows, L, p_sub, ox, oy, oz, dx, dy, dz, t_min, w_tmax[:]
+        )
+        newly = hits[0]
+        for j in range(1, L):
+            newly = newly | hits[j]
+        occ = jnp.maximum(occ, jnp.where(newly, 1.0, 0.0))
+        occ_scr[:] = occ
+        all_done = _packet_reduce_min(occ, p_sub)
+
+        nret = jnp.int32(0)
+        for k in range(K):
+            c = cur_ref[k]
+            at_leaf = jnp.logical_and(c < 0, c > _DONE)
+            early = all_done[k] > 0.0
+            sp_k = sp_ref[k]
+            can_pop = jnp.logical_and(
+                jnp.logical_and(at_leaf, jnp.logical_not(early)), sp_k > 0
+            )
+            spm = jnp.maximum(sp_k - 1, 0)
+            popped = stack_ref[k, spm]
+            nxt = jnp.where(at_leaf, jnp.where(can_pop, popped, _DONE), c)
+            retired = jnp.logical_and(at_leaf, nxt == _DONE)
+            ndone = ndone + jnp.where(retired, 1, 0).astype(jnp.int32)
+            nret = nret + jnp.where(retired, 1, 0).astype(jnp.int32)
+            cur_ref[k] = jnp.where(retired, _RETIRE, nxt)
+            sp_ref[k] = jnp.where(can_pop, spm, sp_k)
+        _swap_block(nret)
+
+        return ndone, it + 1
+
+    def body(state):
+        n_int, n_leaf = _phase_counts(cur_ref)
+        do_leaf = jnp.logical_or(n_leaf >= LEAF_THRESH, n_int == 0)
+        return jax.lax.cond(do_leaf, leaf_iter, node_iter, state)
+
+    _, it = jax.lax.while_loop(cond, body, init)
+    it_out[:] = jnp.full((8, P_LANE), it, jnp.int32)
+
+
+def _pack_rays_pm(x, n_packets, p_sub, pad_value=0.0):
+    """(R,) -> packet-major (n_packets*p_sub, 128): packet p's rays are its
+    contiguous rows [p*p_sub, (p+1)*p_sub). Tail padded with pad_value
+    (pad origins with _BIG so padding lanes slab-miss everything)."""
+    need = n_packets * p_sub * P_LANE
+    if x.shape[0] < need:
+        x = jnp.pad(x, (0, need - x.shape[0]), constant_values=pad_value)
+    return x.reshape(n_packets * p_sub, P_LANE)
+
+
+def _unpack_rays_pm(y, R):
+    return y.reshape(-1)[:R]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("L", "depth", "n_packets", "p_sub", "interpret")
+)
+def _closest_call_persistent(
+    nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax,
+    *, L, depth, n_packets, p_sub, interpret=False,
+):
+    rows = n_packets * p_sub
+    shape = (rows, P_LANE)
+    wshape = (K * p_sub, P_LANE)
+    return pl.pallas_call(
+        functools.partial(_persistent_closest_kernel, L, depth, p_sub, n_packets),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_shape=[
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+            jax.ShapeDtypeStruct(shape, jnp.int32),
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+            jax.ShapeDtypeStruct((8, P_LANE), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM(wshape, jnp.float32)] * 10
+        + [
+            pltpu.VMEM(wshape, jnp.float32),  # bt
+            pltpu.VMEM(wshape, jnp.int32),  # bp
+            pltpu.VMEM(wshape, jnp.float32),  # bu
+            pltpu.VMEM(wshape, jnp.float32),  # bv
+            pltpu.VMEM((K, 16), jnp.float32),
+            pltpu.VMEM((K, 10 * L), jnp.float32),
+            pltpu.SMEM((K, depth), jnp.int32),
+            pltpu.SMEM((K,), jnp.int32),
+            pltpu.SMEM((K,), jnp.int32),
+            pltpu.SMEM((K,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("L", "depth", "n_packets", "p_sub", "interpret")
+)
+def _any_call_persistent(
+    nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax,
+    *, L, depth, n_packets, p_sub, interpret=False,
+):
+    rows = n_packets * p_sub
+    wshape = (K * p_sub, P_LANE)
+    return pl.pallas_call(
+        functools.partial(_persistent_any_kernel, L, depth, p_sub, n_packets),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, P_LANE), jnp.bool_),
+            jax.ShapeDtypeStruct((8, P_LANE), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM(wshape, jnp.float32)] * 11
+        + [
+            pltpu.VMEM(wshape, jnp.float32),  # occ
+            pltpu.VMEM((K, 16), jnp.float32),
+            pltpu.VMEM((K, 10 * L), jnp.float32),
+            pltpu.SMEM((K, depth), jnp.int32),
+            pltpu.SMEM((K,), jnp.int32),
+            pltpu.SMEM((K,), jnp.int32),
+            pltpu.SMEM((K,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax)
+
+
+def traverse_closest_persistent(
+    pbvh: PackedBvh, orig, dir, t_min, active, t_max=None,
+    interpret=False, return_iters=False, p_sub=DEFAULT_P_SUB,
+):
+    """Work-queue persistent closest-hit traversal. Same contract as
+    traverse_closest_packet."""
+    R = orig.shape[0]
+    n_packets = max(1, -(-R // (p_sub * P_LANE)))
+    ox = _pack_rays_pm(jnp.where(active, orig[:, 0], _BIG), n_packets, p_sub, _BIG)
+    oy = _pack_rays_pm(jnp.where(active, orig[:, 1], _BIG), n_packets, p_sub, _BIG)
+    oz = _pack_rays_pm(jnp.where(active, orig[:, 2], _BIG), n_packets, p_sub, _BIG)
+    dx = _pack_rays_pm(jnp.where(active, dir[:, 0], 1.0), n_packets, p_sub, 1.0)
+    dy = _pack_rays_pm(jnp.where(active, dir[:, 1], 1.0), n_packets, p_sub, 1.0)
+    dz = _pack_rays_pm(jnp.where(active, dir[:, 2], 1.0), n_packets, p_sub, 1.0)
+    tmin = _pack_rays_pm(jnp.broadcast_to(t_min, (R,)), n_packets, p_sub)
+    if t_max is None:
+        t_max = jnp.full((R,), T_MAX, jnp.float32)
+    tmax = _pack_rays_pm(jnp.broadcast_to(t_max, (R,)), n_packets, p_sub)
+
+    depth = max(2, int(pbvh.max_depth) + 1)
+    t, prim, u, v, iters = _closest_call_persistent(
+        pbvh.nodes, pbvh.leaf_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
+        L=pbvh.leaf_size, depth=depth, n_packets=n_packets, p_sub=p_sub,
+        interpret=interpret,
+    )
+    if return_iters:
+        return iters[0, 0]
+    t = _unpack_rays_pm(t, R)
+    prim = _unpack_rays_pm(prim, R)
+    u = _unpack_rays_pm(u, R)
+    v = _unpack_rays_pm(v, R)
+    miss = (prim < 0) | ~active
+    return (
+        jnp.where(miss, T_MAX, t),
+        jnp.where(miss, -1, prim),
+        jnp.where(miss, 0.0, u),
+        jnp.where(miss, 0.0, v),
+    )
+
+
+def traverse_any_persistent(
+    pbvh: PackedBvh, orig, dir, t_min, t_max, mask,
+    interpret=False, return_iters=False, p_sub=DEFAULT_P_SUB,
+):
+    """Work-queue persistent any-hit traversal. Same contract as
+    traverse_any_packet."""
+    R = orig.shape[0]
+    n_packets = max(1, -(-R // (p_sub * P_LANE)))
+    ox = _pack_rays_pm(jnp.where(mask, orig[:, 0], _BIG), n_packets, p_sub, _BIG)
+    oy = _pack_rays_pm(jnp.where(mask, orig[:, 1], _BIG), n_packets, p_sub, _BIG)
+    oz = _pack_rays_pm(jnp.where(mask, orig[:, 2], _BIG), n_packets, p_sub, _BIG)
+    dx = _pack_rays_pm(jnp.where(mask, dir[:, 0], 1.0), n_packets, p_sub, 1.0)
+    dy = _pack_rays_pm(jnp.where(mask, dir[:, 1], 1.0), n_packets, p_sub, 1.0)
+    dz = _pack_rays_pm(jnp.where(mask, dir[:, 2], 1.0), n_packets, p_sub, 1.0)
+    tmin = _pack_rays_pm(jnp.broadcast_to(t_min, (R,)), n_packets, p_sub)
+    tmax = _pack_rays_pm(
+        jnp.where(mask, jnp.broadcast_to(t_max, (R,)), -1.0), n_packets, p_sub, -1.0
+    )
+
+    depth = max(2, int(pbvh.max_depth) + 1)
+    occ, iters = _any_call_persistent(
+        pbvh.nodes, pbvh.leaf_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
+        L=pbvh.leaf_size, depth=depth, n_packets=n_packets, p_sub=p_sub,
+        interpret=interpret,
+    )
+    if return_iters:
+        return iters[0, 0]
+    return _unpack_rays_pm(occ, R) & mask
+
+
 # caller-side size gate: node+leaf tables must fit VMEM alongside ray blocks
 # and scratch. v5e VMEM is 128 MiB; leave headroom for the pipeline.
 VMEM_TABLE_BUDGET = 88 * 1024 * 1024
@@ -611,12 +1313,12 @@ def traverse_closest_packet(
     R = orig.shape[0]
     group = K * p_sub * P_LANE
     G = max(1, -(-R // group))
-    ox = _pack_rays(jnp.where(active, orig[:, 0], _BIG), G, p_sub)
-    oy = _pack_rays(jnp.where(active, orig[:, 1], _BIG), G, p_sub)
-    oz = _pack_rays(jnp.where(active, orig[:, 2], _BIG), G, p_sub)
-    dx = _pack_rays(jnp.where(active, dir[:, 0], 1.0), G, p_sub)
-    dy = _pack_rays(jnp.where(active, dir[:, 1], 1.0), G, p_sub)
-    dz = _pack_rays(jnp.where(active, dir[:, 2], 1.0), G, p_sub)
+    ox = _pack_rays(jnp.where(active, orig[:, 0], _BIG), G, p_sub, _BIG)
+    oy = _pack_rays(jnp.where(active, orig[:, 1], _BIG), G, p_sub, _BIG)
+    oz = _pack_rays(jnp.where(active, orig[:, 2], _BIG), G, p_sub, _BIG)
+    dx = _pack_rays(jnp.where(active, dir[:, 0], 1.0), G, p_sub, 1.0)
+    dy = _pack_rays(jnp.where(active, dir[:, 1], 1.0), G, p_sub, 1.0)
+    dz = _pack_rays(jnp.where(active, dir[:, 2], 1.0), G, p_sub, 1.0)
     tmin = _pack_rays(jnp.broadcast_to(t_min, (R,)), G, p_sub)
     if t_max is None:
         t_max = jnp.full((R,), T_MAX, jnp.float32)
@@ -657,16 +1359,18 @@ def traverse_any_packet(
     R = orig.shape[0]
     group = K * p_sub * P_LANE
     G = max(1, -(-R // group))
-    ox = _pack_rays(jnp.where(mask, orig[:, 0], _BIG), G, p_sub)
-    oy = _pack_rays(jnp.where(mask, orig[:, 1], _BIG), G, p_sub)
-    oz = _pack_rays(jnp.where(mask, orig[:, 2], _BIG), G, p_sub)
-    dx = _pack_rays(jnp.where(mask, dir[:, 0], 1.0), G, p_sub)
-    dy = _pack_rays(jnp.where(mask, dir[:, 1], 1.0), G, p_sub)
-    dz = _pack_rays(jnp.where(mask, dir[:, 2], 1.0), G, p_sub)
+    ox = _pack_rays(jnp.where(mask, orig[:, 0], _BIG), G, p_sub, _BIG)
+    oy = _pack_rays(jnp.where(mask, orig[:, 1], _BIG), G, p_sub, _BIG)
+    oz = _pack_rays(jnp.where(mask, orig[:, 2], _BIG), G, p_sub, _BIG)
+    dx = _pack_rays(jnp.where(mask, dir[:, 0], 1.0), G, p_sub, 1.0)
+    dy = _pack_rays(jnp.where(mask, dir[:, 1], 1.0), G, p_sub, 1.0)
+    dz = _pack_rays(jnp.where(mask, dir[:, 2], 1.0), G, p_sub, 1.0)
     tmin = _pack_rays(jnp.broadcast_to(t_min, (R,)), G, p_sub)
     # dead lanes enter pre-occluded (tmax<=0) so packet early-out can fire;
-    # the final AND with mask strips them
-    tmax = _pack_rays(jnp.where(mask, jnp.broadcast_to(t_max, (R,)), -1.0), G, p_sub)
+    # the final AND with mask strips them (padding tail likewise at -1)
+    tmax = _pack_rays(
+        jnp.where(mask, jnp.broadcast_to(t_max, (R,)), -1.0), G, p_sub, -1.0
+    )
 
     depth = max(2, int(pbvh.max_depth) + 1)
     occ, iters = _any_call(

@@ -32,8 +32,8 @@ def main() -> int:
     print(f"device: {jax.devices()[0].device_kind}", flush=True)
     t0 = time.perf_counter()
     scene = load_scene(f"proc://hall?subdiv={subdiv}")
-    flat, meta = build_device_scene(scene)
-    flat = flat._replace(blas=build_blas_set(flat, meta))
+    flat, meta, host = build_device_scene(scene, want_host=True)
+    flat = flat._replace(blas=build_blas_set(flat, meta, host))
     print(f"scene build {time.perf_counter()-t0:.1f}s tris={scene.unique_tris()}", flush=True)
     pair = flat.blas[0]
     pbvh = pair.closest
@@ -136,8 +136,8 @@ def bounce_probe(subdiv: int = 4) -> int:
 
     W, H = 1280, 720
     scene = load_scene(f"proc://hall?subdiv={subdiv}")
-    flat, meta = build_device_scene(scene)
-    flat = flat._replace(blas=build_blas_set(flat, meta))
+    flat, meta, host = build_device_scene(scene, want_host=True)
+    flat = flat._replace(blas=build_blas_set(flat, meta, host))
     pair = flat.blas[0]
     pbvh = pair.closest
     print(f"tris={scene.unique_tris()} nodes={pbvh.nodes.shape}", flush=True)

@@ -30,10 +30,8 @@ def main() -> int:
 
     W, H = 1280, 720
     scene = load_scene("proc://hall?subdiv=4")
-    flat, meta = build_device_scene(scene)
-    v0 = np.asarray(flat.tri_v0)
-    e1 = np.asarray(flat.tri_e1)
-    e2 = np.asarray(flat.tri_e2)
+    flat, meta, host = build_device_scene(scene, want_host=True)
+    v0, e1, e2 = host[:3]
 
     bvhs = {}
     for L in (4, 2):

@@ -36,8 +36,8 @@ def main() -> int:
     print(f"device: {jax.devices()[0].device_kind}", flush=True)
     t0 = time.perf_counter()
     scene = load_scene("proc://hall?subdiv=4")
-    flat, meta = build_device_scene(scene)
-    flat = flat._replace(blas=build_blas_set(flat, meta))
+    flat, meta, host = build_device_scene(scene, want_host=True)
+    flat = flat._replace(blas=build_blas_set(flat, meta, host))
     print(f"scene build {time.perf_counter()-t0:.1f}s tris={scene.unique_tris()}", flush=True)
     pair = flat.blas[0]
     pbvh = pair.closest

@@ -30,8 +30,8 @@ def child(n: int, rays: int = 0, block: int = 0, unroll: int = 0) -> int:
     W, H = 1280, 720
     t0 = time.perf_counter()
     scene = load_scene(f"proc://random?n_tris={n}&spread=12")
-    flat, meta = build_device_scene(scene)
-    flat = flat._replace(blas=build_blas_set(flat, meta))
+    flat, meta, host = build_device_scene(scene, want_host=True)
+    flat = flat._replace(blas=build_blas_set(flat, meta, host))
     pair = flat.blas[0]
     print(
         f"n={n}: build {time.perf_counter()-t0:.1f}s nodes {pair.closest.nodes.shape} "

@@ -32,8 +32,8 @@ def main() -> int:
     print(f"device: {jax.devices()[0].device_kind} textured={textured}", flush=True)
     url = "proc://hall?subdiv=4" + ("&textured=1" if textured else "")
     scene = load_scene(url)
-    flat, meta = build_device_scene(scene)
-    flat = flat._replace(blas=build_blas_set(flat, meta))
+    flat, meta, host = build_device_scene(scene, want_host=True)
+    flat = flat._replace(blas=build_blas_set(flat, meta, host))
 
     num_tris = meta.num_tris
 

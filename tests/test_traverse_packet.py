@@ -72,6 +72,48 @@ def test_packet_any_matches_xla(scene_and_rays):
     assert int(np.asarray(o1).sum()) > 0
 
 
+def test_persistent_closest_matches_xla(scene_and_rays):
+    pbvh, orig, d, active = scene_and_rays
+    t_min = jnp.full(orig.shape[:1], 1e-4, jnp.float32)
+    t0, p0, u0, v0 = traverse_closest_blocked(pbvh, orig, d, t_min, active)
+    t1, p1, u1, v1 = tp.traverse_closest_persistent(
+        pbvh, orig, d, t_min, active, interpret=True
+    )
+    assert np.array_equal(np.asarray(p0), np.asarray(p1))
+    assert np.array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_allclose(np.asarray(u0), np.asarray(u1), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=2e-6)
+    assert int(np.asarray(p1 >= 0).sum()) > 0
+
+
+def test_persistent_any_matches_xla(scene_and_rays):
+    pbvh, orig, d, active = scene_and_rays
+    t_min = jnp.full(orig.shape[:1], 1e-4, jnp.float32)
+    t0, p0, _, _ = traverse_closest_blocked(pbvh, orig, d, t_min, active)
+    tmax = jnp.where(t0 < 1e19, t0 * 1.001, 30.0)
+    o0 = traverse_any_blocked(pbvh, orig, d, t_min, tmax, active)
+    o1 = tp.traverse_any_persistent(
+        pbvh, orig, d, t_min, tmax, active, interpret=True
+    )
+    assert np.array_equal(np.asarray(o0), np.asarray(o1))
+    assert int(np.asarray(o1).sum()) > 0
+
+
+def test_persistent_small_wavefront(scene_and_rays):
+    # fewer packets than K slots: idle slots must not deadlock or corrupt
+    pbvh, orig, d, active = scene_and_rays
+    n = 300  # ~2.3 packets at p_sub=1? use p_sub default: 300 rays < 512
+    t_min = jnp.full((n,), 1e-4, jnp.float32)
+    t0, p0, _, _ = traverse_closest_blocked(
+        pbvh, orig[:n], d[:n], t_min, active[:n]
+    )
+    t1, p1, _, _ = tp.traverse_closest_persistent(
+        pbvh, orig[:n], d[:n], t_min, active[:n], interpret=True
+    )
+    assert np.array_equal(np.asarray(p0), np.asarray(p1))
+    assert np.array_equal(np.asarray(t0), np.asarray(t1))
+
+
 def test_packet_eligibility_gates():
     # uncertified depth -> not eligible
     nodes = jnp.zeros((4, 16), jnp.float32)
