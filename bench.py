@@ -27,10 +27,14 @@ CONFIGS = [
     ("sponza_proxy", "proc://hall?subdiv=4&textured=1", 1280, 720, 4, 1),
     ("cornell", "proc://cornell", 512, 512, 4, 1),
     ("instanced", "proc://instances?nx=6&ny=6&subdiv=3", 1280, 720, 4, 1),
-    ("rungholt", "proc://random?n_tris=6700000&spread=12", 1280, 720, 2, 1),
+    # Rungholt-scale soup renders in 27 row-chunks (the ~60 s per-execution
+    # wall of the remote-TPU worker, backend_base._render_chunks) at
+    # ~4 min/frame even at quarter res — 1 measured frame keeps the config
+    # inside the bench budget.
+    ("rungholt", "proc://random?n_tris=6700000&spread=12", 640, 360, 1, 1),
 ]
 
-TIME_BUDGET_S = 1500.0  # soft cap: skip remaining configs past this
+TIME_BUDGET_S = 2700.0  # soft cap: skip remaining configs past this
 
 
 def run_config(url, width, height, frames, spp, warmup=1):

@@ -70,32 +70,85 @@ class JaxRenderBackend(RenderBackend):
         self.frame_id = 0
         self._render_jit = None
 
+    def _render_chunks(self) -> int:
+        """Number of sequential device launches per frame. One launch for
+        normal scenes; huge scenes split by framebuffer rows because the
+        remote-TPU worker kills any single execution running past ~60 s
+        (measured on a 2M-tri soup at 921K rays: 47 s passes, ~70 s
+        'faults' — the round-1 '>1M-tri traversal fault' was this limit,
+        not a kernel bug). Sized so each chunk stays well under the wall.
+        Env CHAMELEONRT_CHUNKS overrides."""
+        import os
+
+        ov = os.environ.get("CHAMELEONRT_CHUNKS")
+        if ov:
+            return max(1, int(ov))
+        T = self.meta.num_tris if self.meta is not None else 0
+        if T <= 1_000_000:
+            return 1
+        # A chunk executes the FULL path loop (~5 closest + up to 10
+        # occlusion passes), not one traversal, so size well under the
+        # wall: 250K-tri divisor keeps a 6.7M-tri soup chunk ~15-20 s.
+        return min(96, -(-T // 250_000))
+
     def _build_render_fn(self):
         trace_closest, trace_any = self.make_trace_fns(self.meta)
         meta = self.meta
         W, H, spp = self.fb_width, self.fb_height, self.samples_per_pixel
+        chunks = self._render_chunks()
 
-        @partial(jax.jit, static_argnames=(), donate_argnums=(2,))
-        def render_step(flat: FlatScene, view: camera_ops.ViewParams, accum, frame_id):
-            ys, xs = jnp.mgrid[0:H, 0:W]
+        if chunks == 1:
+
+            @partial(jax.jit, static_argnames=(), donate_argnums=(2,))
+            def render_step(flat: FlatScene, view: camera_ops.ViewParams, accum, frame_id):
+                ys, xs = jnp.mgrid[0:H, 0:W]
+                px = xs.reshape(-1).astype(jnp.uint32)
+                py = ys.reshape(-1).astype(jnp.uint32)
+                illum, rays = path_tracer.render_pixels(
+                    flat, meta, trace_closest, trace_any, view, frame_id,
+                    px, py, W, H, spp,
+                )
+                illum = illum.reshape(H, W, 3)
+                accum = path_tracer.progressive_accum(accum, illum, frame_id)
+                return accum, rays
+
+            return render_step
+
+        # Row-chunked frame: each chunk renders Hc rows in its own device
+        # execution (one compile — every chunk shares the shape; H pads up).
+        Hc = -(-H // chunks)
+
+        @partial(jax.jit, static_argnames=())
+        def chunk_step(flat: FlatScene, view: camera_ops.ViewParams, frame_id, y0):
+            ys, xs = jnp.mgrid[0:Hc, 0:W]
             px = xs.reshape(-1).astype(jnp.uint32)
-            py = ys.reshape(-1).astype(jnp.uint32)
+            # rows past H wrap onto row 0: they render (cheaply, coherent)
+            # and are dropped at assembly
+            py = ((ys.reshape(-1).astype(jnp.uint32)) + y0) % jnp.uint32(max(H, 1))
             illum, rays = path_tracer.render_pixels(
-                flat,
-                meta,
-                trace_closest,
-                trace_any,
-                view,
-                frame_id,
-                px,
-                py,
-                W,
-                H,
-                spp,
+                flat, meta, trace_closest, trace_any, view, frame_id,
+                px, py, W, H, spp,
             )
-            illum = illum.reshape(H, W, 3)
-            accum = path_tracer.progressive_accum(accum, illum, frame_id)
-            return accum, rays
+            return illum.reshape(Hc, W, 3), rays
+
+        @partial(jax.jit, static_argnames=(), donate_argnums=(0,))
+        def accum_step(accum, illum, frame_id):
+            return path_tracer.progressive_accum(accum, illum, frame_id)
+
+        def render_step(flat, view, accum, frame_id):
+            parts = []
+            rays = jnp.int32(0)
+            for c in range(chunks):
+                illum_c, rays_c = chunk_step(
+                    flat, view, frame_id, jnp.uint32(c * Hc)
+                )
+                # block per chunk: keeps each device execution separate
+                # (the whole point — one long execution trips the wall)
+                jax.block_until_ready(illum_c)
+                parts.append(illum_c)
+                rays = rays + rays_c
+            illum = jnp.concatenate(parts, axis=0)[:H]
+            return accum_step(accum, illum, frame_id), rays
 
         return render_step
 

@@ -38,8 +38,11 @@ from chameleonrt_tpu.ops.traverse import (
 )
 from chameleonrt_tpu.ops.traverse_packet import (
     packet_eligible,
+    persistent_eligible,
     traverse_any_packet,
+    traverse_any_persistent,
     traverse_closest_packet,
+    traverse_closest_persistent,
 )
 
 
@@ -480,7 +483,16 @@ def make_trace_fns(meta: SceneMeta):
                 )
             o, d = _object_rays(flat, inst_id, orig, dir)
             pbvh_c = flat.blas[mesh_id].closest
-            if _packet_enabled() and packet_eligible(pbvh_c):
+            if _packet_enabled() and persistent_eligible(pbvh_c, o.shape[0]):
+                t, prim, u, v = traverse_closest_persistent(
+                    pbvh_c,
+                    o,
+                    d,
+                    jnp.broadcast_to(jnp.float32(t_min), o.shape[:1]),
+                    inst_active,
+                    t_max=best.t,
+                )
+            elif _packet_enabled() and packet_eligible(pbvh_c):
                 t, prim, u, v = traverse_closest_packet(
                     pbvh_c,
                     o,
@@ -558,8 +570,17 @@ def make_trace_fns(meta: SceneMeta):
                 )
             o, d = _object_rays(flat, inst_id, orig, dir)
             pbvh_c = flat.blas[mesh_id].closest
-            if _packet_enabled() and packet_eligible(pbvh_c):
-                # the packet kernel wants the binary layout (closest slot)
+            if _packet_enabled() and persistent_eligible(pbvh_c, o.shape[0]):
+                # the packet kernels want the binary layout (closest slot)
+                occluded = occluded | traverse_any_persistent(
+                    pbvh_c,
+                    o,
+                    d,
+                    jnp.broadcast_to(jnp.float32(EPSILON), o.shape[:1]),
+                    t_max,
+                    inst_mask,
+                )
+            elif _packet_enabled() and packet_eligible(pbvh_c):
                 occluded = occluded | traverse_any_packet(
                     pbvh_c,
                     o,

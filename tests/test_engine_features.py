@@ -117,3 +117,29 @@ class TestTexturedShading:
         b.initialize(8, 8)
         b.set_scene(scene)
         assert not b.meta.has_textures
+
+
+class TestChunkedRender:
+    def test_chunked_frame_matches_single_launch(self, monkeypatch):
+        """Row-chunked rendering (the >60s-execution-wall workaround for
+        huge scenes, backend_base._render_chunks) must be bit-identical
+        to the single-launch frame: per-pixel RNG is position-derived, so
+        splitting the launch changes nothing per pixel."""
+        scene = load_scene("proc://cornell")
+        cam, d = _cam(scene)
+
+        ref = get_backend("tpu")
+        ref.initialize(32, 30)  # H=30: not divisible by 4 -> wrap path
+        ref.set_scene(scene)
+        ref.render(cam.position, d, cam.up, cam.fov_y, True, False)
+        a_single = np.asarray(ref._accum)
+
+        monkeypatch.setenv("CHAMELEONRT_CHUNKS", "4")
+        chunked = get_backend("tpu")
+        chunked.initialize(32, 30)
+        chunked.set_scene(scene)
+        st = chunked.render(cam.position, d, cam.up, cam.fov_y, True, False)
+        a_chunked = np.asarray(chunked._accum)
+
+        assert np.array_equal(a_single, a_chunked)
+        assert st.rays_traced > 0
