@@ -57,15 +57,17 @@ from jax.experimental.pallas import tpu as pltpu
 from chameleonrt_tpu.ops.intersect import T_MAX
 from chameleonrt_tpu.ops.lbvh import PackedBvh
 
-K = 64  # resident packets per grid step
+import os as _os
+
+K = int(_os.environ.get("CHAMELEONRT_PACKET_K", "64"))  # resident packets
 P_LANE = 128
 DEFAULT_P_SUB = 2  # sublane rows per packet (packet = P_SUB * 128 rays)
 
 # Minimum number of slots waiting at a leaf before a leaf phase runs (a
 # leaf phase always runs when no slot can do a node step). Low values
 # waste leaf-phase batching; high values stall too many slots through
-# node phases.
-LEAF_THRESH = 16
+# node phases. (Both knobs env-overridable for sweeps.)
+LEAF_THRESH = int(_os.environ.get("CHAMELEONRT_LEAF_THRESH", "16"))
 
 _DONE = -(1 << 30)  # scalar sentinel: slot finished (any leaf code > _DONE)
 # persistent kernels: slot just retired its packet and awaits the batched

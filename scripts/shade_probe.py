@@ -42,7 +42,10 @@ def main() -> int:
         R = orig.shape[0]
         lane = jnp.arange(R, dtype=jnp.int32)
         hit = active & (lane % 9 != 0)
-        tri = (lane * 2654435761 % jnp.int32(max(num_tris, 1))).astype(jnp.int32)
+        tri = (
+            (lane.astype(jnp.uint32) * jnp.uint32(2654435761))
+            % jnp.uint32(max(num_tris, 1))
+        ).astype(jnp.int32)
         t = 1.0 + 0.25 * (lane % 13).astype(jnp.float32)
         return Hit(
             t=jnp.where(hit, t, T_MAX),
