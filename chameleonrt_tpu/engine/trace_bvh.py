@@ -278,6 +278,12 @@ def build_unified_set(flat: FlatScene, meta: SceneMeta, host_tris=None):
 
     # instance-entry leaf rows (appended after all triangle leaves)
     ent = np.zeros((I, 10 * LEAF_SIZE), np.float32)
+    # poison the prim-id slots with -1 bits: Moller-Trumbore on an entry
+    # row can then never report a hit (prim >= 0 is part of the hit test),
+    # so kernels may run the triangle interpretation over entry rows
+    # unguarded (the packet kernels rely on this; the XLA path gates by
+    # is_tri anyway)
+    ent[:, 9 * LEAF_SIZE : 10 * LEAF_SIZE].view(np.int32)[:] = -1
     for i, mesh_id in enumerate(meta.inst_mesh):
         ent[i, 0:12] = inst_inv[i][:3, :].reshape(12)
         ent[i, 13] = np.int32(i).view(np.float32)
@@ -536,14 +542,28 @@ def make_trace_fns(meta: SceneMeta):
 
     def _trace_closest_unified(flat: FlatScene, orig, dir, t_min, active):
         from chameleonrt_tpu.ops.traverse import traverse_closest_unified_blocked
-
-        t, prim, inst, u, v = traverse_closest_unified_blocked(
-            flat.blas[0].closest,
-            orig,
-            dir,
-            jnp.broadcast_to(jnp.float32(t_min), orig.shape[:1]),
-            active,
+        from chameleonrt_tpu.ops.traverse_packet import (
+            traverse_closest_unified_persistent,
+            unified_persistent_eligible,
         )
+
+        ubvh = flat.blas[0].closest
+        if _packet_enabled() and unified_persistent_eligible(ubvh, orig.shape[0]):
+            t, prim, inst, u, v = traverse_closest_unified_persistent(
+                ubvh,
+                orig,
+                dir,
+                jnp.broadcast_to(jnp.float32(t_min), orig.shape[:1]),
+                active,
+            )
+        else:
+            t, prim, inst, u, v = traverse_closest_unified_blocked(
+                ubvh,
+                orig,
+                dir,
+                jnp.broadcast_to(jnp.float32(t_min), orig.shape[:1]),
+                active,
+            )
         found = active & (prim >= 0)
         ovf = active & (prim == -2)
         return Hit(
@@ -602,15 +622,31 @@ def make_trace_fns(meta: SceneMeta):
 
     def _trace_any_unified(flat: FlatScene, orig, dir, t_max, mask):
         from chameleonrt_tpu.ops.traverse import traverse_any_unified_blocked
-
-        occ = traverse_any_unified_blocked(
-            flat.blas[0].any,
-            orig,
-            dir,
-            jnp.broadcast_to(jnp.float32(EPSILON), orig.shape[:1]),
-            jnp.broadcast_to(t_max, orig.shape[:1]),
-            mask,
+        from chameleonrt_tpu.ops.traverse_packet import (
+            traverse_any_unified_persistent,
+            unified_persistent_eligible,
         )
+
+        # the persistent kernel wants the binary layout (closest slot)
+        ubvh_bin = flat.blas[0].closest
+        if _packet_enabled() and unified_persistent_eligible(ubvh_bin, orig.shape[0]):
+            occ = traverse_any_unified_persistent(
+                ubvh_bin,
+                orig,
+                dir,
+                jnp.broadcast_to(jnp.float32(EPSILON), orig.shape[:1]),
+                jnp.broadcast_to(t_max, orig.shape[:1]),
+                mask,
+            )
+        else:
+            occ = traverse_any_unified_blocked(
+                flat.blas[0].any,
+                orig,
+                dir,
+                jnp.broadcast_to(jnp.float32(EPSILON), orig.shape[:1]),
+                jnp.broadcast_to(t_max, orig.shape[:1]),
+                mask,
+            )
         return occ & mask
 
     return trace_closest, trace_any

@@ -74,6 +74,12 @@ _DONE = -(1 << 30)  # scalar sentinel: slot finished (any leaf code > _DONE)
 # swap block (same body iteration). Collides with leaf id (1<<30)-2 only,
 # far beyond any real leaf-table size.
 _RETIRE = _DONE + 1
+# unified kernels: slot hit an instance-entry leaf (awaits the batched
+# transform-and-jump block) / slot pops back to TLAS rows from object
+# space (awaits the batched world-ray restore block). Same body-local
+# lifetime as _RETIRE.
+_ENTRY = _DONE + 2
+_RESTORE = _DONE + 3
 _MT_EPS = 1e-9
 _BIG = 1e30
 
@@ -1126,6 +1132,946 @@ def _persistent_any_kernel(
 
     _, it = jax.lax.while_loop(cond, body, init)
     it_out[:] = jnp.full((8, P_LANE), it, jnp.int32)
+
+
+def _persistent_closest_unified_kernel(
+    L,
+    depth,
+    p_sub,
+    n_packets,
+    n_tri,
+    tlas_lo,
+    nodes_ref,
+    leafs_ref,
+    ox_ref,
+    oy_ref,
+    oz_ref,
+    dx_ref,
+    dy_ref,
+    dz_ref,
+    tmin_ref,
+    tmax_ref,
+    t_out,
+    prim_out,
+    inst_out,
+    u_out,
+    v_out,
+    it_out,
+    w_ox,
+    w_oy,
+    w_oz,
+    w_dx,
+    w_dy,
+    w_dz,
+    w_ix,
+    w_iy,
+    w_iz,
+    w_tmin,
+    bt_scr,
+    bp_scr,
+    bi_scr,
+    bu_scr,
+    bv_scr,
+    inst_scr,
+    nrow_scr,
+    lrow_scr,
+    stack_ref,
+    cur_ref,
+    sp_ref,
+    slotpkt_ref,
+    obj_ref,
+    aux_ref,
+    queue_ref,
+):
+    """Persistent closest-hit traversal of a UnifiedBvh (TLAS + BLASes in
+    one table, ops/lbvh.UnifiedBvh). Same work-queue structure as
+    _persistent_closest_kernel plus two-level mechanics:
+
+    - a slot at an INSTANCE-ENTRY leaf (leaf code >= n_tri) parks at
+      _ENTRY; a batched block transforms its packet's PRISTINE world rays
+      (from the input refs) by the entry row's 3x4 world-to-object matrix
+      and jumps to the BLAS root (entry row col 12). Entry rows carry -1
+      prim bits, so the unguarded leaf-phase MT can never hit them.
+    - a slot popping from object space back to TLAS rows parks at
+      _RESTORE; a batched block re-copies the world rays. Object-mode
+      state rides in SMEM obj_ref so TLAS-to-TLAS steps never restore.
+    - per-slot instance id rides inst_scr (K,128 f32 rows) and is
+      broadcast into the vector best-inst update; object t == world t
+      because object directions are not renormalized."""
+    for k in range(K):
+        if k < min(K, n_packets):
+            slotpkt_ref[k] = k
+            cur_ref[k] = tlas_lo
+            sp_ref[k] = 0
+            obj_ref[k] = 0
+            for j in range(p_sub):
+                wrow = k + j * K
+                src = k * p_sub + j
+                dxr = dx_ref[pl.ds(src, 1), :]
+                dyr = dy_ref[pl.ds(src, 1), :]
+                dzr = dz_ref[pl.ds(src, 1), :]
+                w_ox[pl.ds(wrow, 1), :] = ox_ref[pl.ds(src, 1), :]
+                w_oy[pl.ds(wrow, 1), :] = oy_ref[pl.ds(src, 1), :]
+                w_oz[pl.ds(wrow, 1), :] = oz_ref[pl.ds(src, 1), :]
+                w_dx[pl.ds(wrow, 1), :] = dxr
+                w_dy[pl.ds(wrow, 1), :] = dyr
+                w_dz[pl.ds(wrow, 1), :] = dzr
+                w_ix[pl.ds(wrow, 1), :] = 1.0 / dxr
+                w_iy[pl.ds(wrow, 1), :] = 1.0 / dyr
+                w_iz[pl.ds(wrow, 1), :] = 1.0 / dzr
+                w_tmin[pl.ds(wrow, 1), :] = tmin_ref[pl.ds(src, 1), :]
+                bt_scr[pl.ds(wrow, 1), :] = jnp.minimum(
+                    jnp.full((1, P_LANE), 1e20, jnp.float32),
+                    tmax_ref[pl.ds(src, 1), :],
+                )
+                bp_scr[pl.ds(wrow, 1), :] = jnp.full((1, P_LANE), -1, jnp.int32)
+                bi_scr[pl.ds(wrow, 1), :] = jnp.full((1, P_LANE), -1, jnp.int32)
+                bu_scr[pl.ds(wrow, 1), :] = jnp.zeros((1, P_LANE), jnp.float32)
+                bv_scr[pl.ds(wrow, 1), :] = jnp.zeros((1, P_LANE), jnp.float32)
+        else:
+            slotpkt_ref[k] = -1
+            cur_ref[k] = _DONE
+            sp_ref[k] = 0
+            obj_ref[k] = 0
+        aux_ref[k] = _DONE
+    queue_ref[0] = min(K, n_packets)
+    lrow_scr[:] = jnp.zeros_like(lrow_scr)
+    inst_scr[:] = jnp.full_like(inst_scr, -1.0)
+
+    def _swap_block(nret):
+        @pl.when(nret > 0)
+        def _():
+            for k in range(K):
+                c = cur_ref[k]
+                retired = c == _RETIRE
+                p_old = slotpkt_ref[k]
+                for j in range(p_sub):
+                    wrow = k + j * K
+
+                    @pl.when(retired)
+                    def _(j=j, wrow=wrow, p_old=p_old):
+                        dst = p_old * p_sub + j
+                        t_out[pl.ds(dst, 1), :] = bt_scr[pl.ds(wrow, 1), :]
+                        prim_out[pl.ds(dst, 1), :] = bp_scr[pl.ds(wrow, 1), :]
+                        inst_out[pl.ds(dst, 1), :] = bi_scr[pl.ds(wrow, 1), :]
+                        u_out[pl.ds(dst, 1), :] = bu_scr[pl.ds(wrow, 1), :]
+                        v_out[pl.ds(dst, 1), :] = bv_scr[pl.ds(wrow, 1), :]
+
+                q = queue_ref[0]
+                have = jnp.logical_and(retired, q < n_packets)
+
+                @pl.when(have)
+                def _(k=k, q=q):
+                    for j in range(p_sub):
+                        wrow = k + j * K
+                        src = q * p_sub + j
+                        dxr = dx_ref[pl.ds(src, 1), :]
+                        dyr = dy_ref[pl.ds(src, 1), :]
+                        dzr = dz_ref[pl.ds(src, 1), :]
+                        w_ox[pl.ds(wrow, 1), :] = ox_ref[pl.ds(src, 1), :]
+                        w_oy[pl.ds(wrow, 1), :] = oy_ref[pl.ds(src, 1), :]
+                        w_oz[pl.ds(wrow, 1), :] = oz_ref[pl.ds(src, 1), :]
+                        w_dx[pl.ds(wrow, 1), :] = dxr
+                        w_dy[pl.ds(wrow, 1), :] = dyr
+                        w_dz[pl.ds(wrow, 1), :] = dzr
+                        w_ix[pl.ds(wrow, 1), :] = 1.0 / dxr
+                        w_iy[pl.ds(wrow, 1), :] = 1.0 / dyr
+                        w_iz[pl.ds(wrow, 1), :] = 1.0 / dzr
+                        w_tmin[pl.ds(wrow, 1), :] = tmin_ref[pl.ds(src, 1), :]
+                        bt_scr[pl.ds(wrow, 1), :] = jnp.minimum(
+                            jnp.full((1, P_LANE), 1e20, jnp.float32),
+                            tmax_ref[pl.ds(src, 1), :],
+                        )
+                        bp_scr[pl.ds(wrow, 1), :] = jnp.full(
+                            (1, P_LANE), -1, jnp.int32
+                        )
+                        bi_scr[pl.ds(wrow, 1), :] = jnp.full(
+                            (1, P_LANE), -1, jnp.int32
+                        )
+                        bu_scr[pl.ds(wrow, 1), :] = jnp.zeros(
+                            (1, P_LANE), jnp.float32
+                        )
+                        bv_scr[pl.ds(wrow, 1), :] = jnp.zeros(
+                            (1, P_LANE), jnp.float32
+                        )
+                    inst_scr[pl.ds(k, 1), :] = jnp.full(
+                        (1, P_LANE), -1.0, jnp.float32
+                    )
+                    slotpkt_ref[k] = q
+                    cur_ref[k] = tlas_lo
+                    sp_ref[k] = 0
+                    obj_ref[k] = 0
+                    queue_ref[0] = q + 1
+
+                @pl.when(jnp.logical_and(retired, jnp.logical_not(q < n_packets)))
+                def _(k=k):
+                    slotpkt_ref[k] = -1
+                    cur_ref[k] = _DONE
+
+    def _restore_block(nrest):
+        @pl.when(nrest > 0)
+        def _():
+            for k in range(K):
+                c = cur_ref[k]
+                resting = c == _RESTORE
+
+                @pl.when(resting)
+                def _(k=k):
+                    q = slotpkt_ref[k]
+                    for j in range(p_sub):
+                        wrow = k + j * K
+                        src = q * p_sub + j
+                        dxr = dx_ref[pl.ds(src, 1), :]
+                        dyr = dy_ref[pl.ds(src, 1), :]
+                        dzr = dz_ref[pl.ds(src, 1), :]
+                        w_ox[pl.ds(wrow, 1), :] = ox_ref[pl.ds(src, 1), :]
+                        w_oy[pl.ds(wrow, 1), :] = oy_ref[pl.ds(src, 1), :]
+                        w_oz[pl.ds(wrow, 1), :] = oz_ref[pl.ds(src, 1), :]
+                        w_dx[pl.ds(wrow, 1), :] = dxr
+                        w_dy[pl.ds(wrow, 1), :] = dyr
+                        w_dz[pl.ds(wrow, 1), :] = dzr
+                        w_ix[pl.ds(wrow, 1), :] = 1.0 / dxr
+                        w_iy[pl.ds(wrow, 1), :] = 1.0 / dyr
+                        w_iz[pl.ds(wrow, 1), :] = 1.0 / dzr
+                    inst_scr[pl.ds(k, 1), :] = jnp.full(
+                        (1, P_LANE), -1.0, jnp.float32
+                    )
+                    obj_ref[k] = 0
+                    cur_ref[k] = aux_ref[k]
+
+    def _entry_block(nent, lrows, roots_col, insts_col):
+        @pl.when(nent > 0)
+        def _():
+            for k in range(K):
+                c = cur_ref[k]
+                entering = c == _ENTRY
+
+                @pl.when(entering)
+                def _(k=k):
+                    q = slotpkt_ref[k]
+                    m = [lrows[k, i] for i in range(12)]
+                    for j in range(p_sub):
+                        wrow = k + j * K
+                        src = q * p_sub + j
+                        oxr = ox_ref[pl.ds(src, 1), :]
+                        oyr = oy_ref[pl.ds(src, 1), :]
+                        ozr = oz_ref[pl.ds(src, 1), :]
+                        dxr = dx_ref[pl.ds(src, 1), :]
+                        dyr = dy_ref[pl.ds(src, 1), :]
+                        dzr = dz_ref[pl.ds(src, 1), :]
+                        o0 = m[0] * oxr + m[1] * oyr + m[2] * ozr + m[3]
+                        o1 = m[4] * oxr + m[5] * oyr + m[6] * ozr + m[7]
+                        o2 = m[8] * oxr + m[9] * oyr + m[10] * ozr + m[11]
+                        d0 = m[0] * dxr + m[1] * dyr + m[2] * dzr
+                        d1 = m[4] * dxr + m[5] * dyr + m[6] * dzr
+                        d2 = m[8] * dxr + m[9] * dyr + m[10] * dzr
+                        w_ox[pl.ds(wrow, 1), :] = o0
+                        w_oy[pl.ds(wrow, 1), :] = o1
+                        w_oz[pl.ds(wrow, 1), :] = o2
+                        w_dx[pl.ds(wrow, 1), :] = d0
+                        w_dy[pl.ds(wrow, 1), :] = d1
+                        w_dz[pl.ds(wrow, 1), :] = d2
+                        w_ix[pl.ds(wrow, 1), :] = 1.0 / d0
+                        w_iy[pl.ds(wrow, 1), :] = 1.0 / d1
+                        w_iz[pl.ds(wrow, 1), :] = 1.0 / d2
+                    inst_scr[pl.ds(k, 1), :] = jnp.full(
+                        (1, P_LANE),
+                        insts_col[k, 0].astype(jnp.float32),
+                        jnp.float32,
+                    )
+                    obj_ref[k] = 1
+                    cur_ref[k] = roots_col[k, 0]
+
+    init = (jnp.int32(0), jnp.int32(0))
+
+    def cond(state):
+        return state[0] < n_packets
+
+    def node_iter(state):
+        ndone, it = state
+        for k in range(K):
+            c = cur_ref[k]
+
+            @pl.when(c >= 0)
+            def _(k=k):
+                nrow_scr[pl.ds(k, 1), :] = nodes_ref[pl.ds(c, 1), :]
+
+        rows = nrow_scr[:]
+        ox, oy, oz = w_ox[:], w_oy[:], w_oz[:]
+        ix, iy, iz = w_ix[:], w_iy[:], w_iz[:]
+        t_min = w_tmin[:]
+        best_t = bt_scr[:]
+        lhit, lt = _slab(rows, 0, p_sub, ox, oy, oz, ix, iy, iz, t_min, best_t)
+        rhit, rt = _slab(rows, 6, p_sub, ox, oy, oz, ix, iy, iz, t_min, best_t)
+        any_l = _packet_reduce_max(jnp.where(lhit, 1.0, 0.0), p_sub)
+        any_r = _packet_reduce_max(jnp.where(rhit, 1.0, 0.0), p_sub)
+        min_lt = _packet_reduce_min(jnp.where(lhit, lt, _BIG), p_sub)
+        min_rt = _packet_reduce_min(jnp.where(rhit, rt, _BIG), p_sub)
+        l_near_v = jnp.where(min_lt <= min_rt, 1.0, 0.0)
+        left_c = pltpu.bitcast(rows[:, 12:13], jnp.int32)
+        right_c = pltpu.bitcast(rows[:, 13:14], jnp.int32)
+
+        nret = jnp.int32(0)
+        nrest = jnp.int32(0)
+        for k in range(K):
+            c = cur_ref[k]
+            was_int = c >= 0
+
+            hit_l = any_l[k] > 0.0
+            hit_r = any_r[k] > 0.0
+            l_near = l_near_v[k] > 0.0
+            lk, rk = left_c[k, 0], right_c[k, 0]
+            near = jnp.where(l_near, lk, rk)
+            far = jnp.where(l_near, rk, lk)
+            both = jnp.logical_and(jnp.logical_and(hit_l, hit_r), was_int)
+            one = jnp.logical_and(jnp.logical_xor(hit_l, hit_r), was_int)
+            single = jnp.where(hit_l, lk, rk)
+
+            sp_k = sp_ref[k]
+
+            @pl.when(both)
+            def _(k=k):
+                stack_ref[k, sp_k] = far
+
+            sp2 = jnp.where(both, sp_k + 1, sp_k)
+            want_pop = jnp.logical_and(
+                was_int, jnp.logical_not(jnp.logical_or(both, one))
+            )
+            can_pop = jnp.logical_and(want_pop, sp2 > 0)
+            spm = jnp.maximum(sp2 - 1, 0)
+            popped = stack_ref[k, spm]
+            nxt = jnp.where(
+                both, near, jnp.where(one, single, jnp.where(can_pop, popped, _DONE))
+            )
+            nxt = jnp.where(was_int, nxt, c)
+            retired = jnp.logical_and(was_int, nxt == _DONE)
+            # object-space slot popping back to a TLAS row: world restore
+            need_rest = jnp.logical_and(
+                jnp.logical_and(was_int, obj_ref[k] == 1),
+                jnp.logical_and(jnp.logical_not(retired), nxt >= tlas_lo),
+            )
+            ndone = ndone + jnp.where(retired, 1, 0).astype(jnp.int32)
+            nret = nret + jnp.where(retired, 1, 0).astype(jnp.int32)
+            nrest = nrest + jnp.where(need_rest, 1, 0).astype(jnp.int32)
+            aux_ref[k] = nxt
+            cur_ref[k] = jnp.where(
+                retired, _RETIRE, jnp.where(need_rest, _RESTORE, nxt)
+            )
+            sp_ref[k] = jnp.where(can_pop, spm, sp2)
+        _swap_block(nret)
+        _restore_block(nrest)
+
+        return ndone, it + 1
+
+    def leaf_iter(state):
+        ndone, it = state
+        for k in range(K):
+            c = cur_ref[k]
+
+            @pl.when(jnp.logical_and(c < 0, c > _DONE))
+            def _(k=k):
+                lrow_scr[pl.ds(k, 1), :] = leafs_ref[pl.ds(-c - 1, 1), :]
+
+        lrows = lrow_scr[:]
+        ox, oy, oz = w_ox[:], w_oy[:], w_oz[:]
+        dx, dy, dz = w_dx[:], w_dy[:], w_dz[:]
+        t_min = w_tmin[:]
+        best_t = bt_scr[:]
+        best_prim = bp_scr[:]
+        best_inst = bi_scr[:]
+        best_u = bu_scr[:]
+        best_v = bv_scr[:]
+        hits, ts, us, vs, prims = _mt(
+            lrows, L, p_sub, ox, oy, oz, dx, dy, dz, t_min, best_t
+        )
+        inst_b = _bcast(inst_scr[:, 0:1], p_sub).astype(jnp.int32)
+        for j in range(L):
+            take = hits[j] & (ts[j] < best_t)
+            best_t = jnp.where(take, ts[j], best_t)
+            best_prim = jnp.where(take, prims[j], best_prim)
+            best_inst = jnp.where(take, inst_b, best_inst)
+            best_u = jnp.where(take, us[j], best_u)
+            best_v = jnp.where(take, vs[j], best_v)
+        bt_scr[:] = best_t
+        bp_scr[:] = best_prim
+        bi_scr[:] = best_inst
+        bu_scr[:] = best_u
+        bv_scr[:] = best_v
+        roots_col = pltpu.bitcast(lrows[:, 12:13], jnp.int32)
+        insts_col = pltpu.bitcast(lrows[:, 13:14], jnp.int32)
+
+        nret = jnp.int32(0)
+        nrest = jnp.int32(0)
+        nent = jnp.int32(0)
+        for k in range(K):
+            c = cur_ref[k]
+            at_leaf = jnp.logical_and(c < 0, c > _DONE)
+            leaf_code = -c - 1
+            is_entry = jnp.logical_and(at_leaf, leaf_code >= n_tri)
+            is_tri = jnp.logical_and(at_leaf, leaf_code < n_tri)
+            sp_k = sp_ref[k]
+            can_pop = jnp.logical_and(is_tri, sp_k > 0)
+            spm = jnp.maximum(sp_k - 1, 0)
+            popped = stack_ref[k, spm]
+            nxt = jnp.where(is_tri, jnp.where(can_pop, popped, _DONE), c)
+            retired = jnp.logical_and(is_tri, nxt == _DONE)
+            need_rest = jnp.logical_and(
+                jnp.logical_and(is_tri, obj_ref[k] == 1),
+                jnp.logical_and(jnp.logical_not(retired), nxt >= tlas_lo),
+            )
+            ndone = ndone + jnp.where(retired, 1, 0).astype(jnp.int32)
+            nret = nret + jnp.where(retired, 1, 0).astype(jnp.int32)
+            nrest = nrest + jnp.where(need_rest, 1, 0).astype(jnp.int32)
+            nent = nent + jnp.where(is_entry, 1, 0).astype(jnp.int32)
+            aux_ref[k] = nxt
+            cur_ref[k] = jnp.where(
+                is_entry,
+                _ENTRY,
+                jnp.where(
+                    retired, _RETIRE, jnp.where(need_rest, _RESTORE, nxt)
+                ),
+            )
+            sp_ref[k] = jnp.where(can_pop, spm, sp_k)
+        _swap_block(nret)
+        _entry_block(nent, lrows, roots_col, insts_col)
+        _restore_block(nrest)
+
+        return ndone, it + 1
+
+    def body(state):
+        n_int, n_leaf = _phase_counts(cur_ref)
+        do_leaf = jnp.logical_or(n_leaf >= LEAF_THRESH, n_int == 0)
+        return jax.lax.cond(do_leaf, leaf_iter, node_iter, state)
+
+    _, it = jax.lax.while_loop(cond, body, init)
+    it_out[:] = jnp.full((8, P_LANE), it, jnp.int32)
+
+
+def _persistent_any_unified_kernel(
+    L,
+    depth,
+    p_sub,
+    n_packets,
+    n_tri,
+    tlas_lo,
+    nodes_ref,
+    leafs_ref,
+    ox_ref,
+    oy_ref,
+    oz_ref,
+    dx_ref,
+    dy_ref,
+    dz_ref,
+    tmin_ref,
+    tmax_ref,
+    occ_out,
+    it_out,
+    w_ox,
+    w_oy,
+    w_oz,
+    w_dx,
+    w_dy,
+    w_dz,
+    w_ix,
+    w_iy,
+    w_iz,
+    w_tmin,
+    w_tmax,
+    occ_scr,
+    nrow_scr,
+    lrow_scr,
+    stack_ref,
+    cur_ref,
+    sp_ref,
+    slotpkt_ref,
+    obj_ref,
+    aux_ref,
+    queue_ref,
+):
+    """Persistent any-hit traversal of a UnifiedBvh (binary rows). See
+    _persistent_closest_unified_kernel for the two-level mechanics; the
+    per-ray state is just the sticky occluded flag, and fully-occluded
+    packets early-out exactly as in _persistent_any_kernel."""
+    for k in range(K):
+        if k < min(K, n_packets):
+            slotpkt_ref[k] = k
+            cur_ref[k] = tlas_lo
+            sp_ref[k] = 0
+            obj_ref[k] = 0
+            for j in range(p_sub):
+                wrow = k + j * K
+                src = k * p_sub + j
+                dxr = dx_ref[pl.ds(src, 1), :]
+                dyr = dy_ref[pl.ds(src, 1), :]
+                dzr = dz_ref[pl.ds(src, 1), :]
+                tmx = tmax_ref[pl.ds(src, 1), :]
+                w_ox[pl.ds(wrow, 1), :] = ox_ref[pl.ds(src, 1), :]
+                w_oy[pl.ds(wrow, 1), :] = oy_ref[pl.ds(src, 1), :]
+                w_oz[pl.ds(wrow, 1), :] = oz_ref[pl.ds(src, 1), :]
+                w_dx[pl.ds(wrow, 1), :] = dxr
+                w_dy[pl.ds(wrow, 1), :] = dyr
+                w_dz[pl.ds(wrow, 1), :] = dzr
+                w_ix[pl.ds(wrow, 1), :] = 1.0 / dxr
+                w_iy[pl.ds(wrow, 1), :] = 1.0 / dyr
+                w_iz[pl.ds(wrow, 1), :] = 1.0 / dzr
+                w_tmin[pl.ds(wrow, 1), :] = tmin_ref[pl.ds(src, 1), :]
+                w_tmax[pl.ds(wrow, 1), :] = tmx
+                occ_scr[pl.ds(wrow, 1), :] = jnp.where(tmx <= 0.0, 1.0, 0.0)
+        else:
+            slotpkt_ref[k] = -1
+            cur_ref[k] = _DONE
+            sp_ref[k] = 0
+            obj_ref[k] = 0
+        aux_ref[k] = _DONE
+    queue_ref[0] = min(K, n_packets)
+    lrow_scr[:] = jnp.zeros_like(lrow_scr)
+
+    def _swap_block(nret):
+        @pl.when(nret > 0)
+        def _():
+            for k in range(K):
+                c = cur_ref[k]
+                retired = c == _RETIRE
+                p_old = slotpkt_ref[k]
+                for j in range(p_sub):
+                    wrow = k + j * K
+
+                    @pl.when(retired)
+                    def _(j=j, wrow=wrow, p_old=p_old):
+                        dst = p_old * p_sub + j
+                        occ_out[pl.ds(dst, 1), :] = occ_scr[pl.ds(wrow, 1), :] > 0.0
+
+                q = queue_ref[0]
+                have = jnp.logical_and(retired, q < n_packets)
+
+                @pl.when(have)
+                def _(k=k, q=q):
+                    for j in range(p_sub):
+                        wrow = k + j * K
+                        src = q * p_sub + j
+                        dxr = dx_ref[pl.ds(src, 1), :]
+                        dyr = dy_ref[pl.ds(src, 1), :]
+                        dzr = dz_ref[pl.ds(src, 1), :]
+                        tmx = tmax_ref[pl.ds(src, 1), :]
+                        w_ox[pl.ds(wrow, 1), :] = ox_ref[pl.ds(src, 1), :]
+                        w_oy[pl.ds(wrow, 1), :] = oy_ref[pl.ds(src, 1), :]
+                        w_oz[pl.ds(wrow, 1), :] = oz_ref[pl.ds(src, 1), :]
+                        w_dx[pl.ds(wrow, 1), :] = dxr
+                        w_dy[pl.ds(wrow, 1), :] = dyr
+                        w_dz[pl.ds(wrow, 1), :] = dzr
+                        w_ix[pl.ds(wrow, 1), :] = 1.0 / dxr
+                        w_iy[pl.ds(wrow, 1), :] = 1.0 / dyr
+                        w_iz[pl.ds(wrow, 1), :] = 1.0 / dzr
+                        w_tmin[pl.ds(wrow, 1), :] = tmin_ref[pl.ds(src, 1), :]
+                        w_tmax[pl.ds(wrow, 1), :] = tmx
+                        occ_scr[pl.ds(wrow, 1), :] = jnp.where(tmx <= 0.0, 1.0, 0.0)
+                    slotpkt_ref[k] = q
+                    cur_ref[k] = tlas_lo
+                    sp_ref[k] = 0
+                    obj_ref[k] = 0
+                    queue_ref[0] = q + 1
+
+                @pl.when(jnp.logical_and(retired, jnp.logical_not(q < n_packets)))
+                def _(k=k):
+                    slotpkt_ref[k] = -1
+                    cur_ref[k] = _DONE
+
+    def _restore_block(nrest):
+        @pl.when(nrest > 0)
+        def _():
+            for k in range(K):
+                c = cur_ref[k]
+                resting = c == _RESTORE
+
+                @pl.when(resting)
+                def _(k=k):
+                    q = slotpkt_ref[k]
+                    for j in range(p_sub):
+                        wrow = k + j * K
+                        src = q * p_sub + j
+                        dxr = dx_ref[pl.ds(src, 1), :]
+                        dyr = dy_ref[pl.ds(src, 1), :]
+                        dzr = dz_ref[pl.ds(src, 1), :]
+                        w_ox[pl.ds(wrow, 1), :] = ox_ref[pl.ds(src, 1), :]
+                        w_oy[pl.ds(wrow, 1), :] = oy_ref[pl.ds(src, 1), :]
+                        w_oz[pl.ds(wrow, 1), :] = oz_ref[pl.ds(src, 1), :]
+                        w_dx[pl.ds(wrow, 1), :] = dxr
+                        w_dy[pl.ds(wrow, 1), :] = dyr
+                        w_dz[pl.ds(wrow, 1), :] = dzr
+                        w_ix[pl.ds(wrow, 1), :] = 1.0 / dxr
+                        w_iy[pl.ds(wrow, 1), :] = 1.0 / dyr
+                        w_iz[pl.ds(wrow, 1), :] = 1.0 / dzr
+                    obj_ref[k] = 0
+                    cur_ref[k] = aux_ref[k]
+
+    def _entry_block(nent, lrows, roots_col):
+        @pl.when(nent > 0)
+        def _():
+            for k in range(K):
+                c = cur_ref[k]
+                entering = c == _ENTRY
+
+                @pl.when(entering)
+                def _(k=k):
+                    q = slotpkt_ref[k]
+                    m = [lrows[k, i] for i in range(12)]
+                    for j in range(p_sub):
+                        wrow = k + j * K
+                        src = q * p_sub + j
+                        oxr = ox_ref[pl.ds(src, 1), :]
+                        oyr = oy_ref[pl.ds(src, 1), :]
+                        ozr = oz_ref[pl.ds(src, 1), :]
+                        dxr = dx_ref[pl.ds(src, 1), :]
+                        dyr = dy_ref[pl.ds(src, 1), :]
+                        dzr = dz_ref[pl.ds(src, 1), :]
+                        o0 = m[0] * oxr + m[1] * oyr + m[2] * ozr + m[3]
+                        o1 = m[4] * oxr + m[5] * oyr + m[6] * ozr + m[7]
+                        o2 = m[8] * oxr + m[9] * oyr + m[10] * ozr + m[11]
+                        d0 = m[0] * dxr + m[1] * dyr + m[2] * dzr
+                        d1 = m[4] * dxr + m[5] * dyr + m[6] * dzr
+                        d2 = m[8] * dxr + m[9] * dyr + m[10] * dzr
+                        w_ox[pl.ds(wrow, 1), :] = o0
+                        w_oy[pl.ds(wrow, 1), :] = o1
+                        w_oz[pl.ds(wrow, 1), :] = o2
+                        w_dx[pl.ds(wrow, 1), :] = d0
+                        w_dy[pl.ds(wrow, 1), :] = d1
+                        w_dz[pl.ds(wrow, 1), :] = d2
+                        w_ix[pl.ds(wrow, 1), :] = 1.0 / d0
+                        w_iy[pl.ds(wrow, 1), :] = 1.0 / d1
+                        w_iz[pl.ds(wrow, 1), :] = 1.0 / d2
+                    obj_ref[k] = 1
+                    cur_ref[k] = roots_col[k, 0]
+
+    init = (jnp.int32(0), jnp.int32(0))
+
+    def cond(state):
+        return state[0] < n_packets
+
+    def node_iter(state):
+        ndone, it = state
+        for k in range(K):
+            c = cur_ref[k]
+
+            @pl.when(c >= 0)
+            def _(k=k):
+                nrow_scr[pl.ds(k, 1), :] = nodes_ref[pl.ds(c, 1), :]
+
+        rows = nrow_scr[:]
+        ox, oy, oz = w_ox[:], w_oy[:], w_oz[:]
+        ix, iy, iz = w_ix[:], w_iy[:], w_iz[:]
+        t_min = w_tmin[:]
+        occ = occ_scr[:]
+        t_cap = jnp.where(occ > 0.0, -_BIG, w_tmax[:])
+        lhit, _ = _slab(rows, 0, p_sub, ox, oy, oz, ix, iy, iz, t_min, t_cap)
+        rhit, _ = _slab(rows, 6, p_sub, ox, oy, oz, ix, iy, iz, t_min, t_cap)
+        any_l = _packet_reduce_max(jnp.where(lhit, 1.0, 0.0), p_sub)
+        any_r = _packet_reduce_max(jnp.where(rhit, 1.0, 0.0), p_sub)
+        left_c = pltpu.bitcast(rows[:, 12:13], jnp.int32)
+        right_c = pltpu.bitcast(rows[:, 13:14], jnp.int32)
+        all_done = _packet_reduce_min(occ, p_sub)
+
+        nret = jnp.int32(0)
+        nrest = jnp.int32(0)
+        for k in range(K):
+            c = cur_ref[k]
+            was_int = c >= 0
+
+            hit_l = any_l[k] > 0.0
+            hit_r = any_r[k] > 0.0
+            lk, rk = left_c[k, 0], right_c[k, 0]
+            both = jnp.logical_and(jnp.logical_and(hit_l, hit_r), was_int)
+            one = jnp.logical_and(jnp.logical_xor(hit_l, hit_r), was_int)
+            single = jnp.where(hit_l, lk, rk)
+
+            sp_k = sp_ref[k]
+
+            @pl.when(both)
+            def _(k=k):
+                stack_ref[k, sp_k] = rk
+
+            sp2 = jnp.where(both, sp_k + 1, sp_k)
+            early = all_done[k] > 0.0
+            want_pop = jnp.logical_and(
+                was_int, jnp.logical_not(jnp.logical_or(both, one))
+            )
+            can_pop = jnp.logical_and(
+                jnp.logical_and(want_pop, jnp.logical_not(early)), sp2 > 0
+            )
+            spm = jnp.maximum(sp2 - 1, 0)
+            popped = stack_ref[k, spm]
+            nxt = jnp.where(
+                both, lk, jnp.where(one, single, jnp.where(can_pop, popped, _DONE))
+            )
+            nxt = jnp.where(was_int, nxt, c)
+            nxt = jnp.where(jnp.logical_and(was_int, early), _DONE, nxt)
+            retired = jnp.logical_and(was_int, nxt == _DONE)
+            need_rest = jnp.logical_and(
+                jnp.logical_and(was_int, obj_ref[k] == 1),
+                jnp.logical_and(jnp.logical_not(retired), nxt >= tlas_lo),
+            )
+            ndone = ndone + jnp.where(retired, 1, 0).astype(jnp.int32)
+            nret = nret + jnp.where(retired, 1, 0).astype(jnp.int32)
+            nrest = nrest + jnp.where(need_rest, 1, 0).astype(jnp.int32)
+            aux_ref[k] = nxt
+            cur_ref[k] = jnp.where(
+                retired, _RETIRE, jnp.where(need_rest, _RESTORE, nxt)
+            )
+            sp_ref[k] = jnp.where(can_pop, spm, sp2)
+        _swap_block(nret)
+        _restore_block(nrest)
+
+        return ndone, it + 1
+
+    def leaf_iter(state):
+        ndone, it = state
+        for k in range(K):
+            c = cur_ref[k]
+
+            @pl.when(jnp.logical_and(c < 0, c > _DONE))
+            def _(k=k):
+                lrow_scr[pl.ds(k, 1), :] = leafs_ref[pl.ds(-c - 1, 1), :]
+
+        lrows = lrow_scr[:]
+        ox, oy, oz = w_ox[:], w_oy[:], w_oz[:]
+        dx, dy, dz = w_dx[:], w_dy[:], w_dz[:]
+        t_min = w_tmin[:]
+        occ = occ_scr[:]
+        hits, _, _, _, _ = _mt(
+            lrows, L, p_sub, ox, oy, oz, dx, dy, dz, t_min, w_tmax[:]
+        )
+        newly = hits[0]
+        for j in range(1, L):
+            newly = newly | hits[j]
+        occ = jnp.maximum(occ, jnp.where(newly, 1.0, 0.0))
+        occ_scr[:] = occ
+        all_done = _packet_reduce_min(occ, p_sub)
+        roots_col = pltpu.bitcast(lrows[:, 12:13], jnp.int32)
+
+        nret = jnp.int32(0)
+        nrest = jnp.int32(0)
+        nent = jnp.int32(0)
+        for k in range(K):
+            c = cur_ref[k]
+            at_leaf = jnp.logical_and(c < 0, c > _DONE)
+            leaf_code = -c - 1
+            is_entry = jnp.logical_and(at_leaf, leaf_code >= n_tri)
+            is_tri = jnp.logical_and(at_leaf, leaf_code < n_tri)
+            early = all_done[k] > 0.0
+            sp_k = sp_ref[k]
+            can_pop = jnp.logical_and(
+                jnp.logical_and(is_tri, jnp.logical_not(early)), sp_k > 0
+            )
+            spm = jnp.maximum(sp_k - 1, 0)
+            popped = stack_ref[k, spm]
+            nxt = jnp.where(is_tri, jnp.where(can_pop, popped, _DONE), c)
+            # a fully-occluded packet retires wherever it stands
+            nxt = jnp.where(jnp.logical_and(at_leaf, early), _DONE, nxt)
+            is_entry = jnp.logical_and(is_entry, jnp.logical_not(early))
+            retired = jnp.logical_and(at_leaf, nxt == _DONE)
+            need_rest = jnp.logical_and(
+                jnp.logical_and(is_tri, obj_ref[k] == 1),
+                jnp.logical_and(jnp.logical_not(retired), nxt >= tlas_lo),
+            )
+            ndone = ndone + jnp.where(retired, 1, 0).astype(jnp.int32)
+            nret = nret + jnp.where(retired, 1, 0).astype(jnp.int32)
+            nrest = nrest + jnp.where(need_rest, 1, 0).astype(jnp.int32)
+            nent = nent + jnp.where(is_entry, 1, 0).astype(jnp.int32)
+            aux_ref[k] = nxt
+            cur_ref[k] = jnp.where(
+                is_entry,
+                _ENTRY,
+                jnp.where(
+                    retired, _RETIRE, jnp.where(need_rest, _RESTORE, nxt)
+                ),
+            )
+            sp_ref[k] = jnp.where(can_pop, spm, sp_k)
+        _swap_block(nret)
+        _entry_block(nent, lrows, roots_col)
+        _restore_block(nrest)
+
+        return ndone, it + 1
+
+    def body(state):
+        n_int, n_leaf = _phase_counts(cur_ref)
+        do_leaf = jnp.logical_or(n_leaf >= LEAF_THRESH, n_int == 0)
+        return jax.lax.cond(do_leaf, leaf_iter, node_iter, state)
+
+    _, it = jax.lax.while_loop(cond, body, init)
+    it_out[:] = jnp.full((8, P_LANE), it, jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "depth", "n_packets", "n_tri", "tlas_lo", "p_sub", "interpret"),
+)
+def _closest_unified_call_persistent(
+    nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax,
+    *, L, depth, n_packets, n_tri, tlas_lo, p_sub, interpret=False,
+):
+    rows = n_packets * p_sub
+    shape = (rows, P_LANE)
+    wshape = (K * p_sub, P_LANE)
+    return pl.pallas_call(
+        functools.partial(
+            _persistent_closest_unified_kernel, L, depth, p_sub, n_packets, n_tri, tlas_lo
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_shape=[
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+            jax.ShapeDtypeStruct(shape, jnp.int32),
+            jax.ShapeDtypeStruct(shape, jnp.int32),
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+            jax.ShapeDtypeStruct((8, P_LANE), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM(wshape, jnp.float32)] * 10
+        + [
+            pltpu.VMEM(wshape, jnp.float32),  # bt
+            pltpu.VMEM(wshape, jnp.int32),  # bp
+            pltpu.VMEM(wshape, jnp.int32),  # bi
+            pltpu.VMEM(wshape, jnp.float32),  # bu
+            pltpu.VMEM(wshape, jnp.float32),  # bv
+            pltpu.VMEM((K, P_LANE), jnp.float32),  # inst
+            pltpu.VMEM((K, 16), jnp.float32),
+            pltpu.VMEM((K, 10 * L), jnp.float32),
+            pltpu.SMEM((K, depth), jnp.int32),
+            pltpu.SMEM((K,), jnp.int32),  # cur
+            pltpu.SMEM((K,), jnp.int32),  # sp
+            pltpu.SMEM((K,), jnp.int32),  # slotpkt
+            pltpu.SMEM((K,), jnp.int32),  # obj
+            pltpu.SMEM((K,), jnp.int32),  # aux
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "depth", "n_packets", "n_tri", "tlas_lo", "p_sub", "interpret"),
+)
+def _any_unified_call_persistent(
+    nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax,
+    *, L, depth, n_packets, n_tri, tlas_lo, p_sub, interpret=False,
+):
+    rows = n_packets * p_sub
+    wshape = (K * p_sub, P_LANE)
+    return pl.pallas_call(
+        functools.partial(
+            _persistent_any_unified_kernel, L, depth, p_sub, n_packets, n_tri, tlas_lo
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, P_LANE), jnp.bool_),
+            jax.ShapeDtypeStruct((8, P_LANE), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM(wshape, jnp.float32)] * 11
+        + [
+            pltpu.VMEM(wshape, jnp.float32),  # occ
+            pltpu.VMEM((K, 16), jnp.float32),
+            pltpu.VMEM((K, 10 * L), jnp.float32),
+            pltpu.SMEM((K, depth), jnp.int32),
+            pltpu.SMEM((K,), jnp.int32),  # cur
+            pltpu.SMEM((K,), jnp.int32),  # sp
+            pltpu.SMEM((K,), jnp.int32),  # slotpkt
+            pltpu.SMEM((K,), jnp.int32),  # obj
+            pltpu.SMEM((K,), jnp.int32),  # aux
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax)
+
+
+def unified_persistent_eligible(ubvh, n_rays: int, p_sub: int = DEFAULT_P_SUB) -> bool:
+    """Gate for the unified persistent kernels: binary rows,
+    builder-certified stack bound, and tables + resident rays/outputs
+    within the VMEM budget."""
+    if ubvh.arity != 2 or ubvh.stack_bound is None or ubvh.num_leaves <= 1:
+        return False
+    n_packets = max(1, -(-n_rays // (p_sub * P_LANE)))
+    ray_bytes = 13 * n_packets * p_sub * P_LANE * 4
+    table_bytes = (ubvh.nodes.size + ubvh.leaf_rows.size) * 4
+    scratch = 18 * K * p_sub * P_LANE * 4
+    return table_bytes + ray_bytes + scratch <= VMEM_TABLE_BUDGET
+
+
+def traverse_closest_unified_persistent(
+    ubvh, orig, dir, t_min, active, t_max=None,
+    interpret=False, p_sub=DEFAULT_P_SUB,
+):
+    """Work-queue persistent closest-hit traversal of a UnifiedBvh.
+    Same contract as ops.traverse.traverse_closest_unified_blocked:
+    returns (t, prim, inst, u, v), prim/inst = -1 on miss."""
+    R = orig.shape[0]
+    n_packets = max(1, -(-R // (p_sub * P_LANE)))
+    ox = _pack_rays_pm(jnp.where(active, orig[:, 0], _BIG), n_packets, p_sub, _BIG)
+    oy = _pack_rays_pm(jnp.where(active, orig[:, 1], _BIG), n_packets, p_sub, _BIG)
+    oz = _pack_rays_pm(jnp.where(active, orig[:, 2], _BIG), n_packets, p_sub, _BIG)
+    dx = _pack_rays_pm(jnp.where(active, dir[:, 0], 1.0), n_packets, p_sub, 1.0)
+    dy = _pack_rays_pm(jnp.where(active, dir[:, 1], 1.0), n_packets, p_sub, 1.0)
+    dz = _pack_rays_pm(jnp.where(active, dir[:, 2], 1.0), n_packets, p_sub, 1.0)
+    tmin = _pack_rays_pm(jnp.broadcast_to(t_min, (R,)), n_packets, p_sub)
+    if t_max is None:
+        t_max = jnp.full((R,), T_MAX, jnp.float32)
+    tmax = _pack_rays_pm(jnp.broadcast_to(t_max, (R,)), n_packets, p_sub)
+
+    depth = max(2, int(ubvh.stack_bound) + 1)
+    t, prim, inst, u, v, _ = _closest_unified_call_persistent(
+        ubvh.nodes, ubvh.leaf_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
+        L=ubvh.leaf_size, depth=depth, n_packets=n_packets,
+        n_tri=int(ubvh.n_tri_leaves), tlas_lo=int(ubvh.tlas_lo),
+        p_sub=p_sub, interpret=interpret,
+    )
+    t = _unpack_rays_pm(t, R)
+    prim = _unpack_rays_pm(prim, R)
+    inst = _unpack_rays_pm(inst, R)
+    u = _unpack_rays_pm(u, R)
+    v = _unpack_rays_pm(v, R)
+    miss = (prim < 0) | ~active
+    return (
+        jnp.where(miss, T_MAX, t),
+        jnp.where(miss, -1, prim),
+        jnp.where(miss, -1, inst),
+        jnp.where(miss, 0.0, u),
+        jnp.where(miss, 0.0, v),
+    )
+
+
+def traverse_any_unified_persistent(
+    ubvh, orig, dir, t_min, t_max, mask,
+    interpret=False, p_sub=DEFAULT_P_SUB,
+):
+    """Work-queue persistent any-hit traversal of a UnifiedBvh. Same
+    contract as traverse_any_unified_blocked: (R,) bool occluded."""
+    R = orig.shape[0]
+    n_packets = max(1, -(-R // (p_sub * P_LANE)))
+    ox = _pack_rays_pm(jnp.where(mask, orig[:, 0], _BIG), n_packets, p_sub, _BIG)
+    oy = _pack_rays_pm(jnp.where(mask, orig[:, 1], _BIG), n_packets, p_sub, _BIG)
+    oz = _pack_rays_pm(jnp.where(mask, orig[:, 2], _BIG), n_packets, p_sub, _BIG)
+    dx = _pack_rays_pm(jnp.where(mask, dir[:, 0], 1.0), n_packets, p_sub, 1.0)
+    dy = _pack_rays_pm(jnp.where(mask, dir[:, 1], 1.0), n_packets, p_sub, 1.0)
+    dz = _pack_rays_pm(jnp.where(mask, dir[:, 2], 1.0), n_packets, p_sub, 1.0)
+    tmin = _pack_rays_pm(jnp.broadcast_to(t_min, (R,)), n_packets, p_sub)
+    tmax = _pack_rays_pm(
+        jnp.where(mask, jnp.broadcast_to(t_max, (R,)), -1.0), n_packets, p_sub, -1.0
+    )
+
+    depth = max(2, int(ubvh.stack_bound) + 1)
+    occ, _ = _any_unified_call_persistent(
+        ubvh.nodes, ubvh.leaf_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
+        L=ubvh.leaf_size, depth=depth, n_packets=n_packets,
+        n_tri=int(ubvh.n_tri_leaves), tlas_lo=int(ubvh.tlas_lo),
+        p_sub=p_sub, interpret=interpret,
+    )
+    return _unpack_rays_pm(occ, R) & mask
 
 
 def _pack_rays_pm(x, n_packets, p_sub, pad_value=0.0):

@@ -130,3 +130,56 @@ def test_unified_matches_brute_force():
     # differ, so compare only clear cases
     clear = ~np.isclose(bt, 2.5, atol=1e-3) & (bt > 1e-3)
     np.testing.assert_array_equal(occ[clear], expected[clear])
+
+
+def test_unified_persistent_matches_blocked():
+    """The persistent unified packet kernels (interpret mode) must agree
+    bit-exactly with the XLA unified traversal on (t, prim, inst) and
+    occlusion (entry transform-and-jump, world-ray restore, poisoned
+    entry prim slots)."""
+    import jax.numpy as jnp
+
+    from chameleonrt_tpu.engine.device_scene import build_device_scene
+    from chameleonrt_tpu.engine.trace_bvh import build_blas_set
+    from chameleonrt_tpu.ops import traverse_packet as tp
+    from chameleonrt_tpu.ops.lbvh import UnifiedPair
+    from chameleonrt_tpu.ops.traverse import (
+        traverse_any_unified_blocked,
+        traverse_closest_unified_blocked,
+    )
+
+    scene = _scene()
+    flat, meta, host = build_device_scene(scene, want_host=True)
+    flat = flat._replace(blas=build_blas_set(flat, meta, host))
+    assert isinstance(flat.blas[0], UnifiedPair)
+    ubvh = flat.blas[0].closest
+
+    r = np.random.default_rng(11)
+    R = 600
+    orig = jnp.asarray(r.uniform(-5, 5, (R, 3)).astype(np.float32))
+    d = r.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    active = jnp.ones((R,), bool).at[:50].set(False)
+    t_min = jnp.zeros((R,), jnp.float32)
+
+    t0, p0, i0, u0, v0 = traverse_closest_unified_blocked(
+        ubvh, orig, d, t_min, active
+    )
+    t1, p1, i1, u1, v1 = tp.traverse_closest_unified_persistent(
+        ubvh, orig, d, t_min, active, interpret=True
+    )
+    assert np.array_equal(np.asarray(p0), np.asarray(p1))
+    assert np.array_equal(np.asarray(i0), np.asarray(i1))
+    assert np.array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_allclose(np.asarray(u0), np.asarray(u1), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=2e-6)
+    assert int(np.asarray(p1 >= 0).sum()) > 0
+
+    tmax = jnp.where(t0 < 1e19, t0 * 1.001, 20.0)
+    o0 = traverse_any_unified_blocked(ubvh, orig, d, t_min, tmax, active)
+    o1 = tp.traverse_any_unified_persistent(
+        ubvh, orig, d, t_min, tmax, active, interpret=True
+    )
+    assert np.array_equal(np.asarray(o0), np.asarray(o1))
+    assert int(np.asarray(o1).sum()) > 0
