@@ -61,6 +61,20 @@ def _packet_enabled() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+def _unified_persistent_enabled() -> bool:
+    """EXPERIMENTAL opt-in (CHAMELEONRT_UNIFIED_PERSISTENT=1): the unified
+    persistent kernels measure 2.6x over the XLA unified traversal on the
+    instanced bench scene and match it bit-exactly in interpret mode, but
+    the compiled-TPU image diverges (max accum diff 0.31 after 4 frames) —
+    a lowering-sensitivity bug not yet isolated. Default stays on the
+    correct XLA path."""
+    import os
+
+    return _packet_enabled() and os.environ.get(
+        "CHAMELEONRT_UNIFIED_PERSISTENT"
+    ) in ("1", "true", "on")
+
+
 def _bucket_size(n: int) -> int:
     """Round a triangle count up to a bucketed size (~12.5% granularity) so
     the jitted BVH build compiles once per bucket instead of once per mesh —
@@ -548,7 +562,10 @@ def make_trace_fns(meta: SceneMeta):
         )
 
         ubvh = flat.blas[0].closest
-        if _packet_enabled() and unified_persistent_eligible(ubvh, orig.shape[0]):
+        if (
+            _unified_persistent_enabled()
+            and unified_persistent_eligible(ubvh, orig.shape[0])
+        ):
             t, prim, inst, u, v = traverse_closest_unified_persistent(
                 ubvh,
                 orig,
@@ -629,7 +646,10 @@ def make_trace_fns(meta: SceneMeta):
 
         # the persistent kernel wants the binary layout (closest slot)
         ubvh_bin = flat.blas[0].closest
-        if _packet_enabled() and unified_persistent_eligible(ubvh_bin, orig.shape[0]):
+        if (
+            _unified_persistent_enabled()
+            and unified_persistent_eligible(ubvh_bin, orig.shape[0])
+        ):
             occ = traverse_any_unified_persistent(
                 ubvh_bin,
                 orig,

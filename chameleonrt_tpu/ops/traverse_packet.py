@@ -1994,7 +1994,7 @@ def unified_persistent_eligible(ubvh, n_rays: int, p_sub: int = DEFAULT_P_SUB) -
     """Gate for the unified persistent kernels: binary rows,
     builder-certified stack bound, and tables + resident rays/outputs
     within the VMEM budget."""
-    if ubvh.arity != 2 or ubvh.stack_bound is None or ubvh.num_leaves <= 1:
+    if ubvh.arity != 2 or ubvh.stack_bound is None or ubvh.leaf_rows.shape[0] <= 1:
         return False
     n_packets = max(1, -(-n_rays // (p_sub * P_LANE)))
     ray_bytes = 13 * n_packets * p_sub * P_LANE * 4
