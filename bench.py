@@ -24,17 +24,165 @@ import numpy as np
 
 CONFIGS = [
     # (name, scene url, width, height, frames, spp)
+    # headline: since round 3 the textured hall carries 17 materials over
+    # 8 512^2 textures (mixed base_color + roughness handles) — honest
+    # Sponza-class material divergence, not one brick texture
     ("sponza_proxy", "proc://hall?subdiv=4&textured=1", 1280, 720, 4, 1),
     ("cornell", "proc://cornell", 512, 512, 4, 1),
     ("instanced", "proc://instances?nx=6&ny=6&subdiv=3", 1280, 720, 4, 1),
-    # Rungholt-scale soup renders in 27 row-chunks (the ~60 s per-execution
-    # wall of the remote-TPU worker, backend_base._render_chunks) at
-    # ~4 min/frame even at quarter res — 1 measured frame keeps the config
-    # inside the bench budget.
-    ("rungholt", "proc://random?n_tris=6700000&spread=12", 640, 360, 1, 1),
+    # Rungholt-scale, structured: a 6.7M-tri voxel city (coherent
+    # occlusion, the real Rungholt's character) — the adversarially
+    # divergent random soup stays as a separate stress config
+    ("rungholt_city", "proc://city?n=610", 640, 360, 1, 1),
+    ("rungholt_soup", "proc://random?n_tris=6700000&spread=12", 640, 360, 1, 1),
 ]
 
 TIME_BUDGET_S = 2700.0  # soft cap: skip remaining configs past this
+
+# Traversal-parity gate scenes (small shapes; the compiled packet kernels
+# must agree with the XLA traversal before any timing is reported)
+PARITY_W, PARITY_H = 320, 180
+
+
+def _parity_wavefront(scene, W, H):
+    import jax.numpy as jnp
+
+    from chameleonrt_tpu.ops import camera as camera_ops
+    from chameleonrt_tpu.ops import rng as rng_ops
+    from chameleonrt_tpu.ops.traverse import ray_sort_perm
+
+    cam = scene.cameras[0]
+    d = cam.center - cam.position
+    d = d / np.linalg.norm(d)
+    view = camera_ops.compute_view_params(cam.position, d, cam.up, cam.fov_y, W, H)
+    ys, xs = np.mgrid[0:H, 0:W]
+    px = jnp.asarray(xs.reshape(-1).astype(np.uint32))
+    py = jnp.asarray(ys.reshape(-1).astype(np.uint32))
+    state = rng_ops.get_rng((px + py * W).astype(jnp.uint32), jnp.uint32(1))
+    _, orig, dirs = camera_ops.generate_primary_rays(
+        view, px, py, float(W), float(H), state
+    )
+    active = jnp.ones((orig.shape[0],), bool)
+    perm, _ = ray_sort_perm(orig, dirs, active)
+    return orig[perm], dirs[perm], active
+
+
+def run_parity():
+    """Mechanical compiled-kernel parity gate (the -validation oracle role,
+    reference main.cpp:154-155,316-325): on every bench run, the compiled
+    Pallas traversal must match the XLA traversal on a flat and a unified
+    (instanced) scene, and the textured TPU-backend image must match the
+    brute-force oracle backend. The round-2 unified-persistent divergence
+    shipped because exactly this check was a manual script instead of part
+    of bench."""
+    import jax.numpy as jnp
+
+    from chameleonrt_tpu.engine.device_scene import build_device_scene
+    from chameleonrt_tpu.engine.trace_bvh import build_blas_set
+    from chameleonrt_tpu.ops.lbvh import UnifiedPair
+    from chameleonrt_tpu.ops.traverse import (
+        traverse_any_blocked,
+        traverse_any_unified_blocked,
+        traverse_closest_blocked,
+        traverse_closest_unified_blocked,
+    )
+    from chameleonrt_tpu.ops import traverse_packet as tp
+    from chameleonrt_tpu.scene.loader import load_scene
+
+    import jax
+
+    out = {}
+    ok_all = True
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if not on_tpu:
+        out["kernels"] = "skipped (no TPU: packet kernels are Mosaic-only)"
+    for name, url in (
+        ("flat", "proc://hall?subdiv=2"),
+        ("unified", "proc://instances?nx=4&ny=4&subdiv=2"),
+    ) if on_tpu else ():
+        scene = load_scene(url)
+        flat, meta, host = build_device_scene(scene, want_host=True)
+        flat = flat._replace(blas=build_blas_set(flat, meta, host))
+        orig, dirs, active = _parity_wavefront(scene, PARITY_W, PARITY_H)
+        R = orig.shape[0]
+        t_min = jnp.zeros((R,), jnp.float32)
+        unified = isinstance(flat.blas[0], UnifiedPair)
+        if unified:
+            ub = flat.blas[0].closest
+            t0, p0, i0, _, _ = traverse_closest_unified_blocked(
+                ub, orig, dirs, t_min, active
+            )
+            t1, p1, i1, _, _ = tp.traverse_closest_unified_persistent(
+                ub, orig, dirs, t_min, active
+            )
+        else:
+            pb = flat.blas[0].closest
+            t0, p0, _, _ = traverse_closest_blocked(pb, orig, dirs, t_min, active)
+            t1, p1, _, _ = tp.traverse_closest_persistent(
+                pb, orig, dirs, t_min, active
+            )
+        p0, p1, t0, t1 = map(np.asarray, (p0, p1, t0, t1))
+        both = (p0 >= 0) & (p1 >= 0)
+        prim_mismatch = int((p0 != p1).sum())
+        dt = float(np.abs(t0[both] - t1[both]).max()) if both.any() else 0.0
+        tmax = jnp.where(jnp.asarray(t0) < 1e19, jnp.asarray(t0) * 1.001, 100.0)
+        eps = jnp.full((R,), 1e-4, jnp.float32)
+        if unified:
+            o0 = np.asarray(
+                traverse_any_unified_blocked(
+                    flat.blas[0].any, orig, dirs, eps, tmax, active
+                )
+            )
+            o1 = np.asarray(
+                tp.traverse_any_unified_persistent(ub, orig, dirs, eps, tmax, active)
+            )
+        else:
+            o0 = np.asarray(
+                traverse_any_blocked(pb, orig, dirs, eps, tmax, active)
+            )
+            o1 = np.asarray(
+                tp.traverse_any_persistent(pb, orig, dirs, eps, tmax, active)
+            )
+        occ_mismatch = int((o0 != o1).sum())
+        # tolerate <= 20 ppm borderline f32 disagreements (genuine-hit
+        # edge cases, see scripts/unified_check.py host-MT analysis); any
+        # structural divergence is orders of magnitude above this
+        ok = (
+            prim_mismatch <= max(2, R // 50_000)
+            and occ_mismatch <= max(2, R // 50_000)
+            and dt <= 1e-5
+        )
+        out[name] = {
+            "rays": int(R),
+            "prim_mismatch": prim_mismatch,
+            "occ_mismatch": occ_mismatch,
+            "max_dt_common": dt,
+            "ok": bool(ok),
+        }
+        ok_all = ok_all and ok
+
+    # textured image parity vs the brute-force oracle backend
+    from chameleonrt_tpu.core import get_backend
+
+    scene = load_scene("proc://hall?subdiv=1&textured=1&columns=4")
+    imgs = {}
+    for be in ("tpu", "reference"):
+        b = get_backend(be)
+        b.initialize(128, 72)
+        b.set_scene(scene)
+        cam = scene.cameras[0]
+        d = cam.center - cam.position
+        d = d / np.linalg.norm(d)
+        b.render(cam.position, d, cam.up, cam.fov_y, camera_changed=True)
+        imgs[be] = b.img[..., :3].astype(np.float32)
+    mad = float(np.abs(imgs["tpu"] - imgs["reference"]).mean())
+    img_ok = mad < 1.0  # same RNG stream: images agree except f32 borderline
+    out["textured_image"] = {"mean_abs_diff_u8": round(mad, 4), "ok": img_ok}
+    ok_all = ok_all and img_ok
+    out["ok"] = ok_all
+    if not ok_all:
+        print(f"PARITY FAILURE: {out}", file=sys.stderr)
+    return out
 
 
 def run_config(url, width, height, frames, spp, warmup=1):
@@ -82,6 +230,11 @@ def main() -> int:
 
     start = time.perf_counter()
     detail = {"device": jax.devices()[0].device_kind, "configs": {}}
+    try:
+        detail["parity"] = run_parity()
+    except Exception as e:  # noqa: BLE001
+        detail["parity"] = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+        print(f"PARITY GATE ERROR: {e}", file=sys.stderr)
     headline = None
     for name, url, w, h, frames, spp in CONFIGS:
         if headline is not None and time.perf_counter() - start > TIME_BUDGET_S:

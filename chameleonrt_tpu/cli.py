@@ -47,6 +47,8 @@ Options:
 \t-profile <dir>         Capture a jax profiler trace of the render loop
 \t-display auto|ansi|none Live ANSI progressive preview (auto: on when
 \t                       stdout is a terminal and not benchmarking)
+\t-devices <n|all>       Shard the framebuffer rows over n devices (or all
+\t                       available) with psum'd ray stats over ICI
 """
 
 
@@ -83,6 +85,7 @@ def _parse_args(argv: List[str]):
         "checkpoint": None,
         "profile": None,
         "display": "auto",
+        "devices": 0,
     }
     pos: List[str] = []
 
@@ -157,6 +160,12 @@ def _parse_args(argv: List[str]):
                 raise ValueError("-display expects auto|ansi|none")
             opts["display"] = argv[i + 1]
             i += 2
+        elif a == "-devices":
+            v = argv[i + 1]
+            opts["devices"] = -1 if v == "all" else int(v)
+            if opts["devices"] == 0 or opts["devices"] < -1:
+                raise ValueError("-devices expects a positive count or 'all'")
+            i += 2
         elif not a.startswith("-"):
             pos.append(a)
             i += 1
@@ -215,7 +224,7 @@ def _main(argv: Optional[List[str]] = None) -> int:
         cam = scene.cameras[min(opts["camera"], len(scene.cameras) - 1)]
         eye, center, up, fov = cam.position, cam.center, cam.up, cam.fov_y
 
-    backend = get_backend(opts["backend"])
+    backend = get_backend(opts["backend"], devices=opts["devices"])
     print(f"Backend: {backend.name}\nDevice: {get_device_brand()}")
     backend.initialize(w, h)
     t0 = time.perf_counter()

@@ -35,9 +35,14 @@ class JaxRenderBackend(RenderBackend):
     #: whether to count rays (the REPORT_RAY_STATS equivalent); cheap, on by default
     report_ray_stats: bool = True
 
-    def __init__(self, report_ray_stats: bool = True):
+    def __init__(self, report_ray_stats: bool = True, devices: int = 0):
+        """devices: 0 = single-chip (default), -1 = all available devices,
+        N > 1 = shard the framebuffer rows over min(N, available) devices
+        via parallel.sharded (the product seam for SURVEY.md §2.3
+        multi-chip: `-devices` CLI flag routes here)."""
         super().__init__()
         self.report_ray_stats = report_ray_stats
+        self.devices_requested = devices
         self.fb_width = 0
         self.fb_height = 0
         self.frame_id = 0
@@ -45,7 +50,31 @@ class JaxRenderBackend(RenderBackend):
         self.meta: Optional[SceneMeta] = None
         self._accum = None
         self._render_jit = None
+        self._mesh = None
         self._tonemap_jit = jax.jit(linear_to_srgb_u8)
+
+    def _n_devices(self) -> int:
+        want = self.devices_requested
+        if want in (0, 1):
+            return 1
+        avail = len(jax.devices())
+        return avail if want < 0 else min(want, avail)
+
+    def _accum_height(self) -> int:
+        n_dev = self._n_devices()
+        if n_dev <= 1:
+            return self.fb_height
+        from chameleonrt_tpu.parallel import sharded
+
+        return sharded.padded_height(self.fb_height, n_dev)
+
+    def _fresh_accum(self):
+        accum = jnp.zeros((self._accum_height(), self.fb_width, 3), jnp.float32)
+        if self._mesh is not None:
+            from chameleonrt_tpu.parallel import sharded
+
+            accum = sharded.shard_accum(accum, self._mesh)
+        return accum
 
     # -- subclass hook -------------------------------------------------------
     def make_trace_fns(self, meta: SceneMeta):
@@ -60,7 +89,7 @@ class JaxRenderBackend(RenderBackend):
         self.fb_width = int(fb_width)
         self.fb_height = int(fb_height)
         self.img = np.zeros((self.fb_height, self.fb_width, 4), np.uint8)
-        self._accum = jnp.zeros((self.fb_height, self.fb_width, 3), jnp.float32)
+        self._accum = None  # allocated on first render (may be sharded)
         self.frame_id = 0
         self._render_jit = None  # shape changed: respecialize
 
@@ -82,7 +111,12 @@ class JaxRenderBackend(RenderBackend):
 
         ov = os.environ.get("CHAMELEONRT_CHUNKS")
         if ov:
-            return max(1, int(ov))
+            try:
+                return max(1, int(ov))
+            except ValueError:
+                raise ValueError(
+                    f"CHAMELEONRT_CHUNKS must be an integer, got {ov!r}"
+                ) from None
         T = self.meta.num_tris if self.meta is not None else 0
         if T <= 1_000_000:
             return 1
@@ -95,6 +129,21 @@ class JaxRenderBackend(RenderBackend):
         trace_closest, trace_any = self.make_trace_fns(self.meta)
         meta = self.meta
         W, H, spp = self.fb_width, self.fb_height, self.samples_per_pixel
+
+        n_dev = self._n_devices()
+        if n_dev > 1:
+            # multi-chip: row-sharded SPMD step over a device mesh with
+            # psum'd ray stats (SURVEY.md §2.3 — the would-be-NCCL slot).
+            # Row chunking (the single-device execution-wall workaround)
+            # does not compose with sharding; sharded frames are 1/n_dev
+            # the work per device anyway.
+            from chameleonrt_tpu.parallel import sharded
+
+            self._mesh = sharded.make_mesh(jax.devices()[:n_dev])
+            self.flat = sharded.replicate_scene(self.flat, self._mesh)
+            return sharded.make_sharded_render_step(
+                meta, trace_closest, trace_any, self._mesh, W, H, spp
+            )
         chunks = self._render_chunks()
 
         if chunks == 1:
@@ -146,7 +195,13 @@ class JaxRenderBackend(RenderBackend):
                 # (the whole point — one long execution trips the wall)
                 jax.block_until_ready(illum_c)
                 parts.append(illum_c)
-                rays = rays + rays_c
+                # the final chunk's rows past H wrap to row 0 and are
+                # dropped at assembly — scale its ray count by its real
+                # row coverage so rays/s is not inflated by the padding
+                real_rows = min(Hc, H - c * Hc)
+                if real_rows <= 0:
+                    continue
+                rays = rays + rays_c * real_rows // Hc
             illum = jnp.concatenate(parts, axis=0)[:H]
             return accum_step(accum, illum, frame_id), rays
 
@@ -165,10 +220,10 @@ class JaxRenderBackend(RenderBackend):
             raise RuntimeError("set_scene must be called before render")
         if camera_changed:
             self.frame_id = 0
-        if self.frame_id == 0:
-            self._accum = jnp.zeros((self.fb_height, self.fb_width, 3), jnp.float32)
         if self._render_jit is None:
             self._render_jit = self._build_render_fn()
+        if self.frame_id == 0 or self._accum is None:
+            self._accum = self._fresh_accum()
 
         view = camera_ops.compute_view_params(
             pos, dir, up, fov_y, self.fb_width, self.fb_height
@@ -187,7 +242,7 @@ class JaxRenderBackend(RenderBackend):
             rays_traced=rays,
         )
         if readback_framebuffer:
-            self.img = np.asarray(self._tonemap_jit(self._accum))
+            self.img = np.asarray(self._tonemap_jit(self._accum))[: self.fb_height]
         self.frame_id += 1
         return stats
 
@@ -201,7 +256,9 @@ class JaxRenderBackend(RenderBackend):
             raise RuntimeError("nothing to save: no render state")
         np.savez_compressed(
             path,
-            accum=np.asarray(self._accum),
+            # crop any multi-device row padding: checkpoints are portable
+            # across device counts
+            accum=np.asarray(self._accum)[: self.fb_height],
             frame_id=np.int64(self.frame_id),
             spp=np.int64(self.samples_per_pixel),
         )
@@ -214,6 +271,13 @@ class JaxRenderBackend(RenderBackend):
                 f"checkpoint resolution {accum.shape[:2]} does not match "
                 f"framebuffer {(self.fb_height, self.fb_width)}"
             )
+        h_pad = self._accum_height()
+        if h_pad != accum.shape[0]:
+            accum = np.pad(accum, ((0, h_pad - accum.shape[0]), (0, 0), (0, 0)))
         self._accum = jnp.asarray(accum)
+        if self._mesh is not None:
+            from chameleonrt_tpu.parallel import sharded
+
+            self._accum = sharded.shard_accum(self._accum, self._mesh)
         self.frame_id = int(data["frame_id"])
-        self.img = np.asarray(self._tonemap_jit(self._accum))
+        self.img = np.asarray(self._tonemap_jit(self._accum))[: self.fb_height]

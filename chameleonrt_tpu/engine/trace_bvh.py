@@ -62,17 +62,24 @@ def _packet_enabled() -> bool:
 
 
 def _unified_persistent_enabled() -> bool:
-    """EXPERIMENTAL opt-in (CHAMELEONRT_UNIFIED_PERSISTENT=1): the unified
-    persistent kernels measure 2.6x over the XLA unified traversal on the
-    instanced bench scene and match it bit-exactly in interpret mode, but
-    the compiled-TPU image diverges (max accum diff 0.31 after 4 frames) —
-    a lowering-sensitivity bug not yet isolated. Default stays on the
-    correct XLA path."""
+    """Default ON wherever the packet kernels run (round 3). The round-2
+    compiled-image divergence was root-caused to STALE CACHED LEAF ROWS
+    surviving ray-space changes (ADVICE.md r2 #1): the leaf phase re-runs
+    Moller-Trumbore unguarded on every slot's cached row, which is only
+    idempotent within one ray space; after an object->world restore or a
+    packet swap the old object-space triangles were tested against the new
+    rays. Fixed by zero-poisoning the cached row on every ray-space change
+    (_make_persistent_kernel); verified compiled-at-bench-scale 100.0000%
+    prim/inst/t/occlusion match vs the XLA unified traversal on the 921K-ray
+    instanced wavefront, 3.7x closest / 5.0x occlusion speedups
+    (scripts/unified_check.py). Env CHAMELEONRT_UNIFIED_PERSISTENT=0
+    disables."""
     import os
 
-    return _packet_enabled() and os.environ.get(
-        "CHAMELEONRT_UNIFIED_PERSISTENT"
-    ) in ("1", "true", "on")
+    ov = os.environ.get("CHAMELEONRT_UNIFIED_PERSISTENT")
+    if ov is not None:
+        return ov not in ("0", "false", "off")
+    return _packet_enabled()
 
 
 def _bucket_size(n: int) -> int:

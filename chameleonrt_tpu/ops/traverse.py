@@ -768,14 +768,14 @@ def ray_sort_perm_only(orig, dir, active):
 
 
 def ray_sort_perm(orig, dir, active):
-    """Permutation that groups rays for lockstep traversal: active lanes
-    first (dead lanes compact into blocks that exit after one iteration),
-    then by direction octant, then by 27-bit Morton code of the origin
-    (batch-adaptive quantization). Traversal cost per block is its WORST
-    lane's path length, so grouping similar rays is a direct lever; the
-    sort itself is ~0.13 ms at 921K keys on v5e (measured) — noise next to
-    a traversal pass. Returns (perm, inv): x_sorted = x[perm],
-    result_original = result_sorted[inv]."""
+    """Permutation that groups rays for lockstep traversal, using the same
+    key as ray_sort_perm_only: active lanes first, then direction octant
+    (3 bits), then 6 quantized |direction| bits, then a 21-bit Morton code
+    of the origin (batch-adaptive quantization). Traversal cost per block
+    is its WORST lane's path length, so grouping similar rays is a direct
+    lever; the sort itself is ~0.13 ms at 921K keys on v5e (measured) —
+    noise next to a traversal pass. Returns (perm, inv): x_sorted =
+    x[perm], result_original = result_sorted[inv]."""
     R = orig.shape[0]
     perm = ray_sort_perm_only(orig, dir, active)
     inv = (

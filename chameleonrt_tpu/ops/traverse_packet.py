@@ -93,9 +93,11 @@ def _bcast(col, p_sub):
     """(K,1) per-packet column -> (K*p_sub,128) broadcast over each packet's
     ray rows. pltpu.repeat has TILE semantics ([c0..cK-1, c0..cK-1, ...]),
     so the ray layout is INTERLEAVED: packet k owns sublane rows
-    {k, k+K, k+2K, ...} (see _pack_rays)."""
+    {k, k+K, k+2K, ...} (see _pack_rays). The slot count is derived from
+    the column shape so kernels built with any K share this helper."""
+    kk = col.shape[0]
     rep = pltpu.repeat(col, p_sub, axis=0)  # (K*p_sub, 1) tiled
-    return jnp.broadcast_to(rep, (K * p_sub, P_LANE))
+    return jnp.broadcast_to(rep, (kk * p_sub, P_LANE))
 
 
 def _slab(rows, c, p_sub, ox, oy, oz, ix, iy, iz, t_min, t_cap):
@@ -172,20 +174,22 @@ def _mt(lrows, L, p_sub, ox, oy, oz, dx, dy, dz, t_min, t_cap):
 def _packet_reduce_max(x, p_sub):
     """(K*p_sub,128) f32 -> (K,) per-packet max (interleaved rows: row r is
     packet r % K, so reshape to (p_sub, K) and reduce the leading axis)."""
+    kk = x.shape[0] // p_sub
     lanes = jnp.max(x, axis=1)  # (K*p_sub,)
-    return jnp.max(lanes.reshape(p_sub, K), axis=0)
+    return jnp.max(lanes.reshape(p_sub, kk), axis=0)
 
 
 def _packet_reduce_min(x, p_sub):
+    kk = x.shape[0] // p_sub
     lanes = jnp.min(x, axis=1)
-    return jnp.min(lanes.reshape(p_sub, K), axis=0)
+    return jnp.min(lanes.reshape(p_sub, kk), axis=0)
 
 
 def _phase_counts(cur_ref):
     """Scalar census of slot states: (#internal, #waiting-at-leaf)."""
     n_int = jnp.int32(0)
     n_leaf = jnp.int32(0)
-    for k in range(K):
+    for k in range(cur_ref.shape[0]):
         c = cur_ref[k]
         n_int = n_int + jnp.where(c >= 0, 1, 0).astype(jnp.int32)
         n_leaf = n_leaf + jnp.where(
@@ -599,70 +603,103 @@ def _any_call(nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax, *, L, depth, G, 
     )(nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax)
 
 
-def _persistent_closest_kernel(
+def _make_persistent_kernel(
+    *,
+    closest,
+    unified,
     L,
     depth,
     p_sub,
     n_packets,
-    nodes_ref,
-    leafs_ref,
-    ox_ref,
-    oy_ref,
-    oz_ref,
-    dx_ref,
-    dy_ref,
-    dz_ref,
-    tmin_ref,
-    tmax_ref,
-    t_out,
-    prim_out,
-    u_out,
-    v_out,
-    it_out,
-    w_ox,
-    w_oy,
-    w_oz,
-    w_dx,
-    w_dy,
-    w_dz,
-    w_ix,
-    w_iy,
-    w_iz,
-    w_tmin,
-    bt_scr,
-    bp_scr,
-    bu_scr,
-    bv_scr,
-    nrow_scr,
-    lrow_scr,
-    stack_ref,
-    cur_ref,
-    sp_ref,
-    slotpkt_ref,
-    queue_ref,
+    kk,
+    leaf_thresh,
+    n_tri=0,
+    tlas_lo=0,
 ):
-    """Persistent work-queue variant of the closest-hit packet kernel.
+    """Build the persistent work-queue traversal kernel body for one of the
+    four (closest | any) x (flat | unified) variants — ONE parameterized
+    generator instead of four near-copies (the round-2 form quadruplicated
+    every fix on the riskiest code in the repo).
 
-    The grid version retires each group of K packets together, so every
-    group waits on its slowest packet (measured group-iteration spread
-    1..3925 on the hall bounce wavefront). Here ALL packets' rays live in
-    VMEM (packet-major rows) and each of the K resident slots pulls the
-    next packet id from an SMEM queue the moment its packet retires:
-    write back the slot's best rows, fetch the new packet's ray rows into
-    the interleaved working block, reset its best rows, restart at the
-    root. Total iterations approach sum(per-packet visits)/K instead of
-    sum(per-group maxes). Slot state that the vector phases read
-    (rays, best hit) lives in VMEM scratch rather than loop carry so
-    swaps are scalar-side row stores."""
-    # --- initial fill: slots 0..min(K,n_packets)-1 take packets 0..
-    for k in range(K):
-        if k < min(K, n_packets):
-            slotpkt_ref[k] = k
-            cur_ref[k] = 0
-            sp_ref[k] = 0
+    Work-queue structure (all variants): ALL packets' rays live in VMEM
+    (packet-major rows); each of the kk resident slots pulls the next
+    packet id from an SMEM queue the moment its packet retires — write back
+    the slot's results, fetch the new packet's rays into the interleaved
+    working block, reset its state, restart at the root. Total iterations
+    approach sum(per-packet visits)/kk instead of sum(per-group maxes).
+    Iterations are PHASE-ALTERNATED between node phases (slab tests only)
+    and leaf phases (Moller-Trumbore only, batched across waiting slots).
+
+    Mode deltas:
+    - closest: ordered near/far child descent; per-ray best (t, prim,
+      [inst], u, v) rows in VMEM scratch, improved on strict t decrease.
+    - any: unordered descent, sticky occluded flag, whole-packet early-out
+      once every ray is occluded (dead rays enter pre-occluded via
+      tmax <= 0).
+    - unified (two-level TLAS+BLAS table): a slot at an INSTANCE-ENTRY leaf
+      (leaf code >= n_tri) parks at _ENTRY; a batched block transforms its
+      packet's PRISTINE world rays (from the input refs) by the entry row's
+      3x4 world-to-object matrix and jumps to the BLAS root (entry row col
+      12). A slot popping from object space back to TLAS rows parks at
+      _RESTORE; a batched block re-copies the world rays. Object-mode state
+      rides SMEM obj_ref; aux_ref carries the popped target across the
+      restore.
+
+    Leaf handling exploits idempotence: closest-hit state only improves on
+    strict t decrease and occlusion is a sticky OR, so re-evaluating a
+    STALE cached leaf row (slots not at a leaf keep their last-fetched row)
+    is a no-op — but ONLY within one ray space. Every ray-space change
+    (entry, restore, packet swap on the unified layouts) therefore poisons
+    the slot's cached row with zeros (det == 0 rows can never hit); the
+    round-2 compiled-image divergence was exactly a stale object-space row
+    tested against world rays (ADVICE.md r2 #1).
+    """
+    K = kk
+    root = tlas_lo if unified else 0
+
+    def kernel(*args):
+        args = list(args)
+
+        def take():
+            return args.pop(0)
+
+        nodes_ref = take()
+        leafs_ref = take()
+        ox_ref, oy_ref, oz_ref = take(), take(), take()
+        dx_ref, dy_ref, dz_ref = take(), take(), take()
+        tmin_ref, tmax_ref = take(), take()
+        if closest:
+            t_out, prim_out = take(), take()
+            inst_out = take() if unified else None
+            u_out, v_out = take(), take()
+        else:
+            occ_out = take()
+        it_out = take()
+        w_ox, w_oy, w_oz = take(), take(), take()
+        w_dx, w_dy, w_dz = take(), take(), take()
+        w_ix, w_iy, w_iz = take(), take(), take()
+        w_tmin = take()
+        if closest:
+            bt_scr, bp_scr = take(), take()
+            bi_scr = take() if unified else None
+            bu_scr, bv_scr = take(), take()
+            inst_scr = take() if unified else None
+        else:
+            w_tmax, occ_scr = take(), take()
+        nrow_scr, lrow_scr = take(), take()
+        stack_ref, cur_ref, sp_ref = take(), take(), take()
+        slotpkt_ref = take()
+        obj_ref = take() if unified else None
+        aux_ref = take() if unified else None
+        queue_ref = take()
+        assert not args, f"{len(args)} unconsumed kernel refs"
+
+        def _fill_slot(k, q):
+            """Load packet q's rays into slot k's interleaved working rows
+            and reset its per-ray state (best hit / occlusion)."""
             for j in range(p_sub):
                 wrow = k + j * K
-                src = k * p_sub + j
+                src = q * p_sub + j
                 dxr = dx_ref[pl.ds(src, 1), :]
                 dyr = dy_ref[pl.ds(src, 1), :]
                 dzr = dz_ref[pl.ds(src, 1), :]
@@ -676,1244 +713,454 @@ def _persistent_closest_kernel(
                 w_iy[pl.ds(wrow, 1), :] = 1.0 / dyr
                 w_iz[pl.ds(wrow, 1), :] = 1.0 / dzr
                 w_tmin[pl.ds(wrow, 1), :] = tmin_ref[pl.ds(src, 1), :]
-                bt_scr[pl.ds(wrow, 1), :] = jnp.minimum(
-                    jnp.full((1, P_LANE), 1e20, jnp.float32),
-                    tmax_ref[pl.ds(src, 1), :],
-                )
-                bp_scr[pl.ds(wrow, 1), :] = jnp.full((1, P_LANE), -1, jnp.int32)
-                bu_scr[pl.ds(wrow, 1), :] = jnp.zeros((1, P_LANE), jnp.float32)
-                bv_scr[pl.ds(wrow, 1), :] = jnp.zeros((1, P_LANE), jnp.float32)
-        else:
-            slotpkt_ref[k] = -1
-            cur_ref[k] = _DONE
-            sp_ref[k] = 0
-    queue_ref[0] = min(K, n_packets)
-    lrow_scr[:] = jnp.zeros_like(lrow_scr)
-
-    def _swap_block(nret):
-        """Batched retire-and-swap: stepping loops park retiring slots at
-        _RETIRE and count them; the whole (large) swap code block sits
-        behind ONE rarely-taken branch so iterations without a retire pay
-        only the nret check (emitting it per slot inline tripled the
-        per-iteration cost and ate the persistent win)."""
-
-        @pl.when(nret > 0)
-        def _():
-            for k in range(K):
-                c = cur_ref[k]
-                retired = c == _RETIRE
-                p_old = slotpkt_ref[k]
-                for j in range(p_sub):
-                    wrow = k + j * K
-
-                    @pl.when(retired)
-                    def _(j=j, wrow=wrow, p_old=p_old):
-                        dst = p_old * p_sub + j
-                        t_out[pl.ds(dst, 1), :] = bt_scr[pl.ds(wrow, 1), :]
-                        prim_out[pl.ds(dst, 1), :] = bp_scr[pl.ds(wrow, 1), :]
-                        u_out[pl.ds(dst, 1), :] = bu_scr[pl.ds(wrow, 1), :]
-                        v_out[pl.ds(dst, 1), :] = bv_scr[pl.ds(wrow, 1), :]
-
-                q = queue_ref[0]
-                have = jnp.logical_and(retired, q < n_packets)
-
-                @pl.when(have)
-                def _(k=k, q=q):
-                    for j in range(p_sub):
-                        wrow = k + j * K
-                        src = q * p_sub + j
-                        dxr = dx_ref[pl.ds(src, 1), :]
-                        dyr = dy_ref[pl.ds(src, 1), :]
-                        dzr = dz_ref[pl.ds(src, 1), :]
-                        w_ox[pl.ds(wrow, 1), :] = ox_ref[pl.ds(src, 1), :]
-                        w_oy[pl.ds(wrow, 1), :] = oy_ref[pl.ds(src, 1), :]
-                        w_oz[pl.ds(wrow, 1), :] = oz_ref[pl.ds(src, 1), :]
-                        w_dx[pl.ds(wrow, 1), :] = dxr
-                        w_dy[pl.ds(wrow, 1), :] = dyr
-                        w_dz[pl.ds(wrow, 1), :] = dzr
-                        w_ix[pl.ds(wrow, 1), :] = 1.0 / dxr
-                        w_iy[pl.ds(wrow, 1), :] = 1.0 / dyr
-                        w_iz[pl.ds(wrow, 1), :] = 1.0 / dzr
-                        w_tmin[pl.ds(wrow, 1), :] = tmin_ref[pl.ds(src, 1), :]
-                        bt_scr[pl.ds(wrow, 1), :] = jnp.minimum(
-                            jnp.full((1, P_LANE), 1e20, jnp.float32),
-                            tmax_ref[pl.ds(src, 1), :],
-                        )
-                        bp_scr[pl.ds(wrow, 1), :] = jnp.full(
-                            (1, P_LANE), -1, jnp.int32
-                        )
-                        bu_scr[pl.ds(wrow, 1), :] = jnp.zeros(
-                            (1, P_LANE), jnp.float32
-                        )
-                        bv_scr[pl.ds(wrow, 1), :] = jnp.zeros(
-                            (1, P_LANE), jnp.float32
-                        )
-                    slotpkt_ref[k] = q
-                    cur_ref[k] = 0
-                    sp_ref[k] = 0
-                    queue_ref[0] = q + 1
-
-                @pl.when(jnp.logical_and(retired, jnp.logical_not(q < n_packets)))
-                def _(k=k):
-                    slotpkt_ref[k] = -1
-                    cur_ref[k] = _DONE
-
-    init = (jnp.int32(0), jnp.int32(0))  # (packets retired, iterations)
-
-    def cond(state):
-        return state[0] < n_packets
-
-    def node_iter(state):
-        ndone, it = state
-        for k in range(K):
-            c = cur_ref[k]
-
-            @pl.when(c >= 0)
-            def _(k=k):
-                nrow_scr[pl.ds(k, 1), :] = nodes_ref[pl.ds(c, 1), :]
-
-        rows = nrow_scr[:]
-        ox, oy, oz = w_ox[:], w_oy[:], w_oz[:]
-        ix, iy, iz = w_ix[:], w_iy[:], w_iz[:]
-        t_min = w_tmin[:]
-        best_t = bt_scr[:]
-        lhit, lt = _slab(rows, 0, p_sub, ox, oy, oz, ix, iy, iz, t_min, best_t)
-        rhit, rt = _slab(rows, 6, p_sub, ox, oy, oz, ix, iy, iz, t_min, best_t)
-        any_l = _packet_reduce_max(jnp.where(lhit, 1.0, 0.0), p_sub)
-        any_r = _packet_reduce_max(jnp.where(rhit, 1.0, 0.0), p_sub)
-        min_lt = _packet_reduce_min(jnp.where(lhit, lt, _BIG), p_sub)
-        min_rt = _packet_reduce_min(jnp.where(rhit, rt, _BIG), p_sub)
-        l_near_v = jnp.where(min_lt <= min_rt, 1.0, 0.0)
-        left_c = pltpu.bitcast(rows[:, 12:13], jnp.int32)
-        right_c = pltpu.bitcast(rows[:, 13:14], jnp.int32)
-
-        nret = jnp.int32(0)
-        for k in range(K):
-            c = cur_ref[k]
-            was_int = c >= 0
-
-            hit_l = any_l[k] > 0.0
-            hit_r = any_r[k] > 0.0
-            l_near = l_near_v[k] > 0.0
-            lk, rk = left_c[k, 0], right_c[k, 0]
-            near = jnp.where(l_near, lk, rk)
-            far = jnp.where(l_near, rk, lk)
-            both = jnp.logical_and(jnp.logical_and(hit_l, hit_r), was_int)
-            one = jnp.logical_and(jnp.logical_xor(hit_l, hit_r), was_int)
-            single = jnp.where(hit_l, lk, rk)
-
-            sp_k = sp_ref[k]
-
-            @pl.when(both)
-            def _(k=k):
-                stack_ref[k, sp_k] = far
-
-            sp2 = jnp.where(both, sp_k + 1, sp_k)
-            want_pop = jnp.logical_and(
-                was_int, jnp.logical_not(jnp.logical_or(both, one))
-            )
-            can_pop = jnp.logical_and(want_pop, sp2 > 0)
-            spm = jnp.maximum(sp2 - 1, 0)
-            popped = stack_ref[k, spm]
-            nxt = jnp.where(
-                both, near, jnp.where(one, single, jnp.where(can_pop, popped, _DONE))
-            )
-            nxt = jnp.where(was_int, nxt, c)
-            retired = jnp.logical_and(was_int, nxt == _DONE)
-            ndone = ndone + jnp.where(retired, 1, 0).astype(jnp.int32)
-            nret = nret + jnp.where(retired, 1, 0).astype(jnp.int32)
-            cur_ref[k] = jnp.where(retired, _RETIRE, nxt)
-            sp_ref[k] = jnp.where(can_pop, spm, sp2)
-        _swap_block(nret)
-
-        return ndone, it + 1
-
-    def leaf_iter(state):
-        ndone, it = state
-        for k in range(K):
-            c = cur_ref[k]
-
-            @pl.when(jnp.logical_and(c < 0, c > _DONE))
-            def _(k=k):
-                lrow_scr[pl.ds(k, 1), :] = leafs_ref[pl.ds(-c - 1, 1), :]
-
-        lrows = lrow_scr[:]
-        ox, oy, oz = w_ox[:], w_oy[:], w_oz[:]
-        dx, dy, dz = w_dx[:], w_dy[:], w_dz[:]
-        t_min = w_tmin[:]
-        best_t = bt_scr[:]
-        best_prim = bp_scr[:]
-        best_u = bu_scr[:]
-        best_v = bv_scr[:]
-        hits, ts, us, vs, prims = _mt(
-            lrows, L, p_sub, ox, oy, oz, dx, dy, dz, t_min, best_t
-        )
-        for j in range(L):
-            take = hits[j] & (ts[j] < best_t)
-            best_t = jnp.where(take, ts[j], best_t)
-            best_prim = jnp.where(take, prims[j], best_prim)
-            best_u = jnp.where(take, us[j], best_u)
-            best_v = jnp.where(take, vs[j], best_v)
-        bt_scr[:] = best_t
-        bp_scr[:] = best_prim
-        bu_scr[:] = best_u
-        bv_scr[:] = best_v
-
-        nret = jnp.int32(0)
-        for k in range(K):
-            c = cur_ref[k]
-            at_leaf = jnp.logical_and(c < 0, c > _DONE)
-            sp_k = sp_ref[k]
-            can_pop = jnp.logical_and(at_leaf, sp_k > 0)
-            spm = jnp.maximum(sp_k - 1, 0)
-            popped = stack_ref[k, spm]
-            nxt = jnp.where(at_leaf, jnp.where(can_pop, popped, _DONE), c)
-            retired = jnp.logical_and(at_leaf, nxt == _DONE)
-            ndone = ndone + jnp.where(retired, 1, 0).astype(jnp.int32)
-            nret = nret + jnp.where(retired, 1, 0).astype(jnp.int32)
-            cur_ref[k] = jnp.where(retired, _RETIRE, nxt)
-            sp_ref[k] = jnp.where(can_pop, spm, sp_k)
-        _swap_block(nret)
-
-        return ndone, it + 1
-
-    def body(state):
-        n_int, n_leaf = _phase_counts(cur_ref)
-        do_leaf = jnp.logical_or(n_leaf >= LEAF_THRESH, n_int == 0)
-        return jax.lax.cond(do_leaf, leaf_iter, node_iter, state)
-
-    _, it = jax.lax.while_loop(cond, body, init)
-    it_out[:] = jnp.full((8, P_LANE), it, jnp.int32)
-
-
-def _persistent_any_kernel(
-    L,
-    depth,
-    p_sub,
-    n_packets,
-    nodes_ref,
-    leafs_ref,
-    ox_ref,
-    oy_ref,
-    oz_ref,
-    dx_ref,
-    dy_ref,
-    dz_ref,
-    tmin_ref,
-    tmax_ref,
-    occ_out,
-    it_out,
-    w_ox,
-    w_oy,
-    w_oz,
-    w_dx,
-    w_dy,
-    w_dz,
-    w_ix,
-    w_iy,
-    w_iz,
-    w_tmin,
-    w_tmax,
-    occ_scr,
-    nrow_scr,
-    lrow_scr,
-    stack_ref,
-    cur_ref,
-    sp_ref,
-    slotpkt_ref,
-    queue_ref,
-):
-    """Persistent work-queue occlusion kernel (see _persistent_closest_kernel).
-    Per-slot occluded state is a sticky f32 0/1 row in VMEM scratch; a
-    packet early-outs when every ray is occluded (dead rays enter
-    pre-occluded via tmax<=0)."""
-    for k in range(K):
-        if k < min(K, n_packets):
-            slotpkt_ref[k] = k
-            cur_ref[k] = 0
-            sp_ref[k] = 0
-            for j in range(p_sub):
-                wrow = k + j * K
-                src = k * p_sub + j
-                dxr = dx_ref[pl.ds(src, 1), :]
-                dyr = dy_ref[pl.ds(src, 1), :]
-                dzr = dz_ref[pl.ds(src, 1), :]
-                tmx = tmax_ref[pl.ds(src, 1), :]
-                w_ox[pl.ds(wrow, 1), :] = ox_ref[pl.ds(src, 1), :]
-                w_oy[pl.ds(wrow, 1), :] = oy_ref[pl.ds(src, 1), :]
-                w_oz[pl.ds(wrow, 1), :] = oz_ref[pl.ds(src, 1), :]
-                w_dx[pl.ds(wrow, 1), :] = dxr
-                w_dy[pl.ds(wrow, 1), :] = dyr
-                w_dz[pl.ds(wrow, 1), :] = dzr
-                w_ix[pl.ds(wrow, 1), :] = 1.0 / dxr
-                w_iy[pl.ds(wrow, 1), :] = 1.0 / dyr
-                w_iz[pl.ds(wrow, 1), :] = 1.0 / dzr
-                w_tmin[pl.ds(wrow, 1), :] = tmin_ref[pl.ds(src, 1), :]
-                w_tmax[pl.ds(wrow, 1), :] = tmx
-                occ_scr[pl.ds(wrow, 1), :] = jnp.where(tmx <= 0.0, 1.0, 0.0)
-        else:
-            slotpkt_ref[k] = -1
-            cur_ref[k] = _DONE
-            sp_ref[k] = 0
-    queue_ref[0] = min(K, n_packets)
-    lrow_scr[:] = jnp.zeros_like(lrow_scr)
-
-    def _swap_block(nret):
-        """Batched retire-and-swap behind one rarely-taken branch (see
-        _persistent_closest_kernel._swap_block)."""
-
-        @pl.when(nret > 0)
-        def _():
-            for k in range(K):
-                c = cur_ref[k]
-                retired = c == _RETIRE
-                p_old = slotpkt_ref[k]
-                for j in range(p_sub):
-                    wrow = k + j * K
-
-                    @pl.when(retired)
-                    def _(j=j, wrow=wrow, p_old=p_old):
-                        dst = p_old * p_sub + j
-                        occ_out[pl.ds(dst, 1), :] = occ_scr[pl.ds(wrow, 1), :] > 0.0
-
-                q = queue_ref[0]
-                have = jnp.logical_and(retired, q < n_packets)
-
-                @pl.when(have)
-                def _(k=k, q=q):
-                    for j in range(p_sub):
-                        wrow = k + j * K
-                        src = q * p_sub + j
-                        dxr = dx_ref[pl.ds(src, 1), :]
-                        dyr = dy_ref[pl.ds(src, 1), :]
-                        dzr = dz_ref[pl.ds(src, 1), :]
-                        tmx = tmax_ref[pl.ds(src, 1), :]
-                        w_ox[pl.ds(wrow, 1), :] = ox_ref[pl.ds(src, 1), :]
-                        w_oy[pl.ds(wrow, 1), :] = oy_ref[pl.ds(src, 1), :]
-                        w_oz[pl.ds(wrow, 1), :] = oz_ref[pl.ds(src, 1), :]
-                        w_dx[pl.ds(wrow, 1), :] = dxr
-                        w_dy[pl.ds(wrow, 1), :] = dyr
-                        w_dz[pl.ds(wrow, 1), :] = dzr
-                        w_ix[pl.ds(wrow, 1), :] = 1.0 / dxr
-                        w_iy[pl.ds(wrow, 1), :] = 1.0 / dyr
-                        w_iz[pl.ds(wrow, 1), :] = 1.0 / dzr
-                        w_tmin[pl.ds(wrow, 1), :] = tmin_ref[pl.ds(src, 1), :]
-                        w_tmax[pl.ds(wrow, 1), :] = tmx
-                        occ_scr[pl.ds(wrow, 1), :] = jnp.where(tmx <= 0.0, 1.0, 0.0)
-                    slotpkt_ref[k] = q
-                    cur_ref[k] = 0
-                    sp_ref[k] = 0
-                    queue_ref[0] = q + 1
-
-                @pl.when(jnp.logical_and(retired, jnp.logical_not(q < n_packets)))
-                def _(k=k):
-                    slotpkt_ref[k] = -1
-                    cur_ref[k] = _DONE
-
-    init = (jnp.int32(0), jnp.int32(0))
-
-    def cond(state):
-        return state[0] < n_packets
-
-    def node_iter(state):
-        ndone, it = state
-        for k in range(K):
-            c = cur_ref[k]
-
-            @pl.when(c >= 0)
-            def _(k=k):
-                nrow_scr[pl.ds(k, 1), :] = nodes_ref[pl.ds(c, 1), :]
-
-        rows = nrow_scr[:]
-        ox, oy, oz = w_ox[:], w_oy[:], w_oz[:]
-        ix, iy, iz = w_ix[:], w_iy[:], w_iz[:]
-        t_min = w_tmin[:]
-        occ = occ_scr[:]
-        t_cap = jnp.where(occ > 0.0, -_BIG, w_tmax[:])
-        lhit, _ = _slab(rows, 0, p_sub, ox, oy, oz, ix, iy, iz, t_min, t_cap)
-        rhit, _ = _slab(rows, 6, p_sub, ox, oy, oz, ix, iy, iz, t_min, t_cap)
-        any_l = _packet_reduce_max(jnp.where(lhit, 1.0, 0.0), p_sub)
-        any_r = _packet_reduce_max(jnp.where(rhit, 1.0, 0.0), p_sub)
-        left_c = pltpu.bitcast(rows[:, 12:13], jnp.int32)
-        right_c = pltpu.bitcast(rows[:, 13:14], jnp.int32)
-        all_done = _packet_reduce_min(occ, p_sub)
-
-        nret = jnp.int32(0)
-        for k in range(K):
-            c = cur_ref[k]
-            was_int = c >= 0
-
-            hit_l = any_l[k] > 0.0
-            hit_r = any_r[k] > 0.0
-            lk, rk = left_c[k, 0], right_c[k, 0]
-            both = jnp.logical_and(jnp.logical_and(hit_l, hit_r), was_int)
-            one = jnp.logical_and(jnp.logical_xor(hit_l, hit_r), was_int)
-            single = jnp.where(hit_l, lk, rk)
-
-            sp_k = sp_ref[k]
-
-            @pl.when(both)
-            def _(k=k):
-                stack_ref[k, sp_k] = rk
-
-            sp2 = jnp.where(both, sp_k + 1, sp_k)
-            early = all_done[k] > 0.0
-            want_pop = jnp.logical_and(
-                was_int, jnp.logical_not(jnp.logical_or(both, one))
-            )
-            can_pop = jnp.logical_and(
-                jnp.logical_and(want_pop, jnp.logical_not(early)), sp2 > 0
-            )
-            spm = jnp.maximum(sp2 - 1, 0)
-            popped = stack_ref[k, spm]
-            nxt = jnp.where(
-                both, lk, jnp.where(one, single, jnp.where(can_pop, popped, _DONE))
-            )
-            nxt = jnp.where(was_int, nxt, c)
-            nxt = jnp.where(jnp.logical_and(was_int, early), _DONE, nxt)
-            retired = jnp.logical_and(was_int, nxt == _DONE)
-            ndone = ndone + jnp.where(retired, 1, 0).astype(jnp.int32)
-            nret = nret + jnp.where(retired, 1, 0).astype(jnp.int32)
-            cur_ref[k] = jnp.where(retired, _RETIRE, nxt)
-            sp_ref[k] = jnp.where(can_pop, spm, sp2)
-        _swap_block(nret)
-
-        return ndone, it + 1
-
-    def leaf_iter(state):
-        ndone, it = state
-        for k in range(K):
-            c = cur_ref[k]
-
-            @pl.when(jnp.logical_and(c < 0, c > _DONE))
-            def _(k=k):
-                lrow_scr[pl.ds(k, 1), :] = leafs_ref[pl.ds(-c - 1, 1), :]
-
-        lrows = lrow_scr[:]
-        ox, oy, oz = w_ox[:], w_oy[:], w_oz[:]
-        dx, dy, dz = w_dx[:], w_dy[:], w_dz[:]
-        t_min = w_tmin[:]
-        occ = occ_scr[:]
-        hits, _, _, _, _ = _mt(
-            lrows, L, p_sub, ox, oy, oz, dx, dy, dz, t_min, w_tmax[:]
-        )
-        newly = hits[0]
-        for j in range(1, L):
-            newly = newly | hits[j]
-        occ = jnp.maximum(occ, jnp.where(newly, 1.0, 0.0))
-        occ_scr[:] = occ
-        all_done = _packet_reduce_min(occ, p_sub)
-
-        nret = jnp.int32(0)
-        for k in range(K):
-            c = cur_ref[k]
-            at_leaf = jnp.logical_and(c < 0, c > _DONE)
-            early = all_done[k] > 0.0
-            sp_k = sp_ref[k]
-            can_pop = jnp.logical_and(
-                jnp.logical_and(at_leaf, jnp.logical_not(early)), sp_k > 0
-            )
-            spm = jnp.maximum(sp_k - 1, 0)
-            popped = stack_ref[k, spm]
-            nxt = jnp.where(at_leaf, jnp.where(can_pop, popped, _DONE), c)
-            retired = jnp.logical_and(at_leaf, nxt == _DONE)
-            ndone = ndone + jnp.where(retired, 1, 0).astype(jnp.int32)
-            nret = nret + jnp.where(retired, 1, 0).astype(jnp.int32)
-            cur_ref[k] = jnp.where(retired, _RETIRE, nxt)
-            sp_ref[k] = jnp.where(can_pop, spm, sp_k)
-        _swap_block(nret)
-
-        return ndone, it + 1
-
-    def body(state):
-        n_int, n_leaf = _phase_counts(cur_ref)
-        do_leaf = jnp.logical_or(n_leaf >= LEAF_THRESH, n_int == 0)
-        return jax.lax.cond(do_leaf, leaf_iter, node_iter, state)
-
-    _, it = jax.lax.while_loop(cond, body, init)
-    it_out[:] = jnp.full((8, P_LANE), it, jnp.int32)
-
-
-def _persistent_closest_unified_kernel(
-    L,
-    depth,
-    p_sub,
-    n_packets,
-    n_tri,
-    tlas_lo,
-    nodes_ref,
-    leafs_ref,
-    ox_ref,
-    oy_ref,
-    oz_ref,
-    dx_ref,
-    dy_ref,
-    dz_ref,
-    tmin_ref,
-    tmax_ref,
-    t_out,
-    prim_out,
-    inst_out,
-    u_out,
-    v_out,
-    it_out,
-    w_ox,
-    w_oy,
-    w_oz,
-    w_dx,
-    w_dy,
-    w_dz,
-    w_ix,
-    w_iy,
-    w_iz,
-    w_tmin,
-    bt_scr,
-    bp_scr,
-    bi_scr,
-    bu_scr,
-    bv_scr,
-    inst_scr,
-    nrow_scr,
-    lrow_scr,
-    stack_ref,
-    cur_ref,
-    sp_ref,
-    slotpkt_ref,
-    obj_ref,
-    aux_ref,
-    queue_ref,
-):
-    """Persistent closest-hit traversal of a UnifiedBvh (TLAS + BLASes in
-    one table, ops/lbvh.UnifiedBvh). Same work-queue structure as
-    _persistent_closest_kernel plus two-level mechanics:
-
-    - a slot at an INSTANCE-ENTRY leaf (leaf code >= n_tri) parks at
-      _ENTRY; a batched block transforms its packet's PRISTINE world rays
-      (from the input refs) by the entry row's 3x4 world-to-object matrix
-      and jumps to the BLAS root (entry row col 12). Entry rows carry -1
-      prim bits, so the unguarded leaf-phase MT can never hit them.
-    - a slot popping from object space back to TLAS rows parks at
-      _RESTORE; a batched block re-copies the world rays. Object-mode
-      state rides in SMEM obj_ref so TLAS-to-TLAS steps never restore.
-    - per-slot instance id rides inst_scr (K,128 f32 rows) and is
-      broadcast into the vector best-inst update; object t == world t
-      because object directions are not renormalized."""
-    for k in range(K):
-        if k < min(K, n_packets):
-            slotpkt_ref[k] = k
-            cur_ref[k] = tlas_lo
-            sp_ref[k] = 0
-            obj_ref[k] = 0
-            for j in range(p_sub):
-                wrow = k + j * K
-                src = k * p_sub + j
-                dxr = dx_ref[pl.ds(src, 1), :]
-                dyr = dy_ref[pl.ds(src, 1), :]
-                dzr = dz_ref[pl.ds(src, 1), :]
-                w_ox[pl.ds(wrow, 1), :] = ox_ref[pl.ds(src, 1), :]
-                w_oy[pl.ds(wrow, 1), :] = oy_ref[pl.ds(src, 1), :]
-                w_oz[pl.ds(wrow, 1), :] = oz_ref[pl.ds(src, 1), :]
-                w_dx[pl.ds(wrow, 1), :] = dxr
-                w_dy[pl.ds(wrow, 1), :] = dyr
-                w_dz[pl.ds(wrow, 1), :] = dzr
-                w_ix[pl.ds(wrow, 1), :] = 1.0 / dxr
-                w_iy[pl.ds(wrow, 1), :] = 1.0 / dyr
-                w_iz[pl.ds(wrow, 1), :] = 1.0 / dzr
-                w_tmin[pl.ds(wrow, 1), :] = tmin_ref[pl.ds(src, 1), :]
-                bt_scr[pl.ds(wrow, 1), :] = jnp.minimum(
-                    jnp.full((1, P_LANE), 1e20, jnp.float32),
-                    tmax_ref[pl.ds(src, 1), :],
-                )
-                bp_scr[pl.ds(wrow, 1), :] = jnp.full((1, P_LANE), -1, jnp.int32)
-                bi_scr[pl.ds(wrow, 1), :] = jnp.full((1, P_LANE), -1, jnp.int32)
-                bu_scr[pl.ds(wrow, 1), :] = jnp.zeros((1, P_LANE), jnp.float32)
-                bv_scr[pl.ds(wrow, 1), :] = jnp.zeros((1, P_LANE), jnp.float32)
-        else:
-            slotpkt_ref[k] = -1
-            cur_ref[k] = _DONE
-            sp_ref[k] = 0
-            obj_ref[k] = 0
-        aux_ref[k] = _DONE
-    queue_ref[0] = min(K, n_packets)
-    lrow_scr[:] = jnp.zeros_like(lrow_scr)
-    inst_scr[:] = jnp.full_like(inst_scr, -1.0)
-
-    def _swap_block(nret):
-        @pl.when(nret > 0)
-        def _():
-            for k in range(K):
-                c = cur_ref[k]
-                retired = c == _RETIRE
-                p_old = slotpkt_ref[k]
-                for j in range(p_sub):
-                    wrow = k + j * K
-
-                    @pl.when(retired)
-                    def _(j=j, wrow=wrow, p_old=p_old):
-                        dst = p_old * p_sub + j
-                        t_out[pl.ds(dst, 1), :] = bt_scr[pl.ds(wrow, 1), :]
-                        prim_out[pl.ds(dst, 1), :] = bp_scr[pl.ds(wrow, 1), :]
-                        inst_out[pl.ds(dst, 1), :] = bi_scr[pl.ds(wrow, 1), :]
-                        u_out[pl.ds(dst, 1), :] = bu_scr[pl.ds(wrow, 1), :]
-                        v_out[pl.ds(dst, 1), :] = bv_scr[pl.ds(wrow, 1), :]
-
-                q = queue_ref[0]
-                have = jnp.logical_and(retired, q < n_packets)
-
-                @pl.when(have)
-                def _(k=k, q=q):
-                    for j in range(p_sub):
-                        wrow = k + j * K
-                        src = q * p_sub + j
-                        dxr = dx_ref[pl.ds(src, 1), :]
-                        dyr = dy_ref[pl.ds(src, 1), :]
-                        dzr = dz_ref[pl.ds(src, 1), :]
-                        w_ox[pl.ds(wrow, 1), :] = ox_ref[pl.ds(src, 1), :]
-                        w_oy[pl.ds(wrow, 1), :] = oy_ref[pl.ds(src, 1), :]
-                        w_oz[pl.ds(wrow, 1), :] = oz_ref[pl.ds(src, 1), :]
-                        w_dx[pl.ds(wrow, 1), :] = dxr
-                        w_dy[pl.ds(wrow, 1), :] = dyr
-                        w_dz[pl.ds(wrow, 1), :] = dzr
-                        w_ix[pl.ds(wrow, 1), :] = 1.0 / dxr
-                        w_iy[pl.ds(wrow, 1), :] = 1.0 / dyr
-                        w_iz[pl.ds(wrow, 1), :] = 1.0 / dzr
-                        w_tmin[pl.ds(wrow, 1), :] = tmin_ref[pl.ds(src, 1), :]
-                        bt_scr[pl.ds(wrow, 1), :] = jnp.minimum(
-                            jnp.full((1, P_LANE), 1e20, jnp.float32),
-                            tmax_ref[pl.ds(src, 1), :],
-                        )
-                        bp_scr[pl.ds(wrow, 1), :] = jnp.full(
-                            (1, P_LANE), -1, jnp.int32
-                        )
+                if closest:
+                    bt_scr[pl.ds(wrow, 1), :] = jnp.minimum(
+                        jnp.full((1, P_LANE), 1e20, jnp.float32),
+                        tmax_ref[pl.ds(src, 1), :],
+                    )
+                    bp_scr[pl.ds(wrow, 1), :] = jnp.full((1, P_LANE), -1, jnp.int32)
+                    if unified:
                         bi_scr[pl.ds(wrow, 1), :] = jnp.full(
                             (1, P_LANE), -1, jnp.int32
                         )
-                        bu_scr[pl.ds(wrow, 1), :] = jnp.zeros(
-                            (1, P_LANE), jnp.float32
+                    bu_scr[pl.ds(wrow, 1), :] = jnp.zeros((1, P_LANE), jnp.float32)
+                    bv_scr[pl.ds(wrow, 1), :] = jnp.zeros((1, P_LANE), jnp.float32)
+                else:
+                    tmx = tmax_ref[pl.ds(src, 1), :]
+                    w_tmax[pl.ds(wrow, 1), :] = tmx
+                    occ_scr[pl.ds(wrow, 1), :] = jnp.where(tmx <= 0.0, 1.0, 0.0)
+            if closest and unified:
+                inst_scr[pl.ds(k, 1), :] = jnp.full((1, P_LANE), -1.0, jnp.float32)
+
+        # --- initial fill: slots 0..min(K, n_packets)-1 take packets 0..
+        for k in range(K):
+            if k < min(K, n_packets):
+                slotpkt_ref[k] = k
+                cur_ref[k] = root
+                sp_ref[k] = 0
+                _fill_slot(k, k)
+            else:
+                slotpkt_ref[k] = -1
+                cur_ref[k] = _DONE
+                sp_ref[k] = 0
+            if unified:
+                obj_ref[k] = 0
+                aux_ref[k] = _DONE
+        queue_ref[0] = min(K, n_packets)
+        lrow_scr[:] = jnp.zeros_like(lrow_scr)
+        if closest and unified:
+            inst_scr[:] = jnp.full_like(inst_scr, -1.0)
+
+        def _swap_block(nret):
+            """Batched retire-and-swap: stepping loops park retiring slots
+            at _RETIRE and count them; the whole (large) swap code block
+            sits behind ONE rarely-taken branch so iterations without a
+            retire pay only the nret check. On the unified layouts the
+            refill returns the slot to WORLD rays, so the cached leaf row
+            is poisoned (ray-space-change invariant)."""
+
+            @pl.when(nret > 0)
+            def _():
+                for k in range(K):
+                    c = cur_ref[k]
+                    retired = c == _RETIRE
+                    p_old = slotpkt_ref[k]
+                    for j in range(p_sub):
+                        wrow = k + j * K
+
+                        @pl.when(retired)
+                        def _(j=j, wrow=wrow, p_old=p_old):
+                            dst = p_old * p_sub + j
+                            if closest:
+                                t_out[pl.ds(dst, 1), :] = bt_scr[pl.ds(wrow, 1), :]
+                                prim_out[pl.ds(dst, 1), :] = bp_scr[
+                                    pl.ds(wrow, 1), :
+                                ]
+                                if unified:
+                                    inst_out[pl.ds(dst, 1), :] = bi_scr[
+                                        pl.ds(wrow, 1), :
+                                    ]
+                                u_out[pl.ds(dst, 1), :] = bu_scr[pl.ds(wrow, 1), :]
+                                v_out[pl.ds(dst, 1), :] = bv_scr[pl.ds(wrow, 1), :]
+                            else:
+                                occ_out[pl.ds(dst, 1), :] = (
+                                    occ_scr[pl.ds(wrow, 1), :] > 0.0
+                                )
+
+                    q = queue_ref[0]
+                    have = jnp.logical_and(retired, q < n_packets)
+
+                    @pl.when(have)
+                    def _(k=k, q=q):
+                        _fill_slot(k, q)
+                        if unified:
+                            lrow_scr[pl.ds(k, 1), :] = jnp.zeros(
+                                (1, 10 * L), jnp.float32
+                            )
+                        slotpkt_ref[k] = q
+                        cur_ref[k] = root
+                        sp_ref[k] = 0
+                        if unified:
+                            obj_ref[k] = 0
+                        queue_ref[0] = q + 1
+
+                    @pl.when(
+                        jnp.logical_and(retired, jnp.logical_not(q < n_packets))
+                    )
+                    def _(k=k):
+                        slotpkt_ref[k] = -1
+                        cur_ref[k] = _DONE
+
+        if unified:
+
+            def _restore_block(nrest):
+                """Slots popping from object space back to TLAS rows:
+                restore the packet's pristine world rays and poison the
+                cached object-space leaf row."""
+
+                @pl.when(nrest > 0)
+                def _():
+                    for k in range(K):
+                        c = cur_ref[k]
+                        resting = c == _RESTORE
+
+                        @pl.when(resting)
+                        def _(k=k):
+                            q = slotpkt_ref[k]
+                            for j in range(p_sub):
+                                wrow = k + j * K
+                                src = q * p_sub + j
+                                dxr = dx_ref[pl.ds(src, 1), :]
+                                dyr = dy_ref[pl.ds(src, 1), :]
+                                dzr = dz_ref[pl.ds(src, 1), :]
+                                w_ox[pl.ds(wrow, 1), :] = ox_ref[pl.ds(src, 1), :]
+                                w_oy[pl.ds(wrow, 1), :] = oy_ref[pl.ds(src, 1), :]
+                                w_oz[pl.ds(wrow, 1), :] = oz_ref[pl.ds(src, 1), :]
+                                w_dx[pl.ds(wrow, 1), :] = dxr
+                                w_dy[pl.ds(wrow, 1), :] = dyr
+                                w_dz[pl.ds(wrow, 1), :] = dzr
+                                w_ix[pl.ds(wrow, 1), :] = 1.0 / dxr
+                                w_iy[pl.ds(wrow, 1), :] = 1.0 / dyr
+                                w_iz[pl.ds(wrow, 1), :] = 1.0 / dzr
+                            if closest:
+                                inst_scr[pl.ds(k, 1), :] = jnp.full(
+                                    (1, P_LANE), -1.0, jnp.float32
+                                )
+                            lrow_scr[pl.ds(k, 1), :] = jnp.zeros(
+                                (1, 10 * L), jnp.float32
+                            )
+                            obj_ref[k] = 0
+                            cur_ref[k] = aux_ref[k]
+
+            def _entry_block(nent, lrows, roots_col, insts_col):
+                """Slots at an instance-entry leaf: transform the packet's
+                PRISTINE world rays (from the input refs) by the entry
+                row's 3x4 world-to-object matrix, jump to the BLAS root
+                (entry row col 12). Entry rows carry -1 prim bits so the
+                unguarded leaf-phase MT can never hit them; the cached row
+                is zeroed anyway (ray-space-change invariant)."""
+
+                @pl.when(nent > 0)
+                def _():
+                    for k in range(K):
+                        c = cur_ref[k]
+                        entering = c == _ENTRY
+
+                        @pl.when(entering)
+                        def _(k=k):
+                            q = slotpkt_ref[k]
+                            m = [lrows[k, i] for i in range(12)]
+                            for j in range(p_sub):
+                                wrow = k + j * K
+                                src = q * p_sub + j
+                                oxr = ox_ref[pl.ds(src, 1), :]
+                                oyr = oy_ref[pl.ds(src, 1), :]
+                                ozr = oz_ref[pl.ds(src, 1), :]
+                                dxr = dx_ref[pl.ds(src, 1), :]
+                                dyr = dy_ref[pl.ds(src, 1), :]
+                                dzr = dz_ref[pl.ds(src, 1), :]
+                                o0 = m[0] * oxr + m[1] * oyr + m[2] * ozr + m[3]
+                                o1 = m[4] * oxr + m[5] * oyr + m[6] * ozr + m[7]
+                                o2 = m[8] * oxr + m[9] * oyr + m[10] * ozr + m[11]
+                                d0 = m[0] * dxr + m[1] * dyr + m[2] * dzr
+                                d1 = m[4] * dxr + m[5] * dyr + m[6] * dzr
+                                d2 = m[8] * dxr + m[9] * dyr + m[10] * dzr
+                                w_ox[pl.ds(wrow, 1), :] = o0
+                                w_oy[pl.ds(wrow, 1), :] = o1
+                                w_oz[pl.ds(wrow, 1), :] = o2
+                                w_dx[pl.ds(wrow, 1), :] = d0
+                                w_dy[pl.ds(wrow, 1), :] = d1
+                                w_dz[pl.ds(wrow, 1), :] = d2
+                                w_ix[pl.ds(wrow, 1), :] = 1.0 / d0
+                                w_iy[pl.ds(wrow, 1), :] = 1.0 / d1
+                                w_iz[pl.ds(wrow, 1), :] = 1.0 / d2
+                            if closest:
+                                inst_scr[pl.ds(k, 1), :] = jnp.full(
+                                    (1, P_LANE),
+                                    insts_col[k, 0].astype(jnp.float32),
+                                    jnp.float32,
+                                )
+                            lrow_scr[pl.ds(k, 1), :] = jnp.zeros(
+                                (1, 10 * L), jnp.float32
+                            )
+                            obj_ref[k] = 1
+                            cur_ref[k] = roots_col[k, 0]
+
+        def node_iter(state):
+            ndone, it = state
+            for k in range(K):
+                c = cur_ref[k]
+
+                @pl.when(c >= 0)
+                def _(k=k):
+                    nrow_scr[pl.ds(k, 1), :] = nodes_ref[pl.ds(c, 1), :]
+
+            rows = nrow_scr[:]
+            ox, oy, oz = w_ox[:], w_oy[:], w_oz[:]
+            ix, iy, iz = w_ix[:], w_iy[:], w_iz[:]
+            t_min = w_tmin[:]
+            if closest:
+                t_cap = bt_scr[:]
+            else:
+                occ = occ_scr[:]
+                t_cap = jnp.where(occ > 0.0, -_BIG, w_tmax[:])
+            lhit, lt = _slab(rows, 0, p_sub, ox, oy, oz, ix, iy, iz, t_min, t_cap)
+            rhit, rt = _slab(rows, 6, p_sub, ox, oy, oz, ix, iy, iz, t_min, t_cap)
+            any_l = _packet_reduce_max(jnp.where(lhit, 1.0, 0.0), p_sub)
+            any_r = _packet_reduce_max(jnp.where(rhit, 1.0, 0.0), p_sub)
+            if closest:
+                min_lt = _packet_reduce_min(jnp.where(lhit, lt, _BIG), p_sub)
+                min_rt = _packet_reduce_min(jnp.where(rhit, rt, _BIG), p_sub)
+                l_near_v = jnp.where(min_lt <= min_rt, 1.0, 0.0)
+            else:
+                all_done = _packet_reduce_min(occ, p_sub)
+            left_c = pltpu.bitcast(rows[:, 12:13], jnp.int32)
+            right_c = pltpu.bitcast(rows[:, 13:14], jnp.int32)
+
+            nret = jnp.int32(0)
+            nrest = jnp.int32(0)
+            for k in range(K):
+                c = cur_ref[k]
+                was_int = c >= 0
+
+                hit_l = any_l[k] > 0.0
+                hit_r = any_r[k] > 0.0
+                lk, rk = left_c[k, 0], right_c[k, 0]
+                both = jnp.logical_and(jnp.logical_and(hit_l, hit_r), was_int)
+                one = jnp.logical_and(jnp.logical_xor(hit_l, hit_r), was_int)
+                single = jnp.where(hit_l, lk, rk)
+                if closest:
+                    # ordered descent: go near, push far
+                    l_near = l_near_v[k] > 0.0
+                    first = jnp.where(l_near, lk, rk)
+                    push_code = jnp.where(l_near, rk, lk)
+                else:
+                    first = lk
+                    push_code = rk
+
+                sp_k = sp_ref[k]
+
+                @pl.when(both)
+                def _(k=k, sp_k=sp_k, push_code=push_code):
+                    stack_ref[k, sp_k] = push_code
+
+                sp2 = jnp.where(both, sp_k + 1, sp_k)
+                want_pop = jnp.logical_and(
+                    was_int, jnp.logical_not(jnp.logical_or(both, one))
+                )
+                if closest:
+                    can_pop = jnp.logical_and(want_pop, sp2 > 0)
+                else:
+                    early = all_done[k] > 0.0
+                    can_pop = jnp.logical_and(
+                        jnp.logical_and(want_pop, jnp.logical_not(early)), sp2 > 0
+                    )
+                spm = jnp.maximum(sp2 - 1, 0)
+                popped = stack_ref[k, spm]
+                nxt = jnp.where(
+                    both,
+                    first,
+                    jnp.where(one, single, jnp.where(can_pop, popped, _DONE)),
+                )
+                nxt = jnp.where(was_int, nxt, c)
+                if not closest:
+                    nxt = jnp.where(jnp.logical_and(was_int, early), _DONE, nxt)
+                retired = jnp.logical_and(was_int, nxt == _DONE)
+                ndone = ndone + jnp.where(retired, 1, 0).astype(jnp.int32)
+                nret = nret + jnp.where(retired, 1, 0).astype(jnp.int32)
+                if unified:
+                    # object-space slot popping back to a TLAS row: restore
+                    need_rest = jnp.logical_and(
+                        jnp.logical_and(was_int, obj_ref[k] == 1),
+                        jnp.logical_and(jnp.logical_not(retired), nxt >= tlas_lo),
+                    )
+                    nrest = nrest + jnp.where(need_rest, 1, 0).astype(jnp.int32)
+                    aux_ref[k] = nxt
+                    cur_ref[k] = jnp.where(
+                        retired, _RETIRE, jnp.where(need_rest, _RESTORE, nxt)
+                    )
+                else:
+                    cur_ref[k] = jnp.where(retired, _RETIRE, nxt)
+                sp_ref[k] = jnp.where(can_pop, spm, sp2)
+            _swap_block(nret)
+            if unified:
+                _restore_block(nrest)
+
+            return ndone, it + 1
+
+        def leaf_iter(state):
+            ndone, it = state
+            for k in range(K):
+                c = cur_ref[k]
+
+                @pl.when(jnp.logical_and(c < 0, c > _DONE))
+                def _(k=k):
+                    lrow_scr[pl.ds(k, 1), :] = leafs_ref[pl.ds(-c - 1, 1), :]
+
+            lrows = lrow_scr[:]
+            ox, oy, oz = w_ox[:], w_oy[:], w_oz[:]
+            dx, dy, dz = w_dx[:], w_dy[:], w_dz[:]
+            t_min = w_tmin[:]
+            if closest:
+                best_t = bt_scr[:]
+                best_prim = bp_scr[:]
+                best_u = bu_scr[:]
+                best_v = bv_scr[:]
+                hits, ts, us, vs, prims = _mt(
+                    lrows, L, p_sub, ox, oy, oz, dx, dy, dz, t_min, best_t
+                )
+                if unified:
+                    best_inst = bi_scr[:]
+                    inst_b = _bcast(inst_scr[:, 0:1], p_sub).astype(jnp.int32)
+                for j in range(L):
+                    take_j = hits[j] & (ts[j] < best_t)
+                    best_t = jnp.where(take_j, ts[j], best_t)
+                    best_prim = jnp.where(take_j, prims[j], best_prim)
+                    if unified:
+                        best_inst = jnp.where(take_j, inst_b, best_inst)
+                    best_u = jnp.where(take_j, us[j], best_u)
+                    best_v = jnp.where(take_j, vs[j], best_v)
+                bt_scr[:] = best_t
+                bp_scr[:] = best_prim
+                if unified:
+                    bi_scr[:] = best_inst
+                bu_scr[:] = best_u
+                bv_scr[:] = best_v
+            else:
+                occ = occ_scr[:]
+                hits, _, _, _, _ = _mt(
+                    lrows, L, p_sub, ox, oy, oz, dx, dy, dz, t_min, w_tmax[:]
+                )
+                newly = hits[0]
+                for j in range(1, L):
+                    newly = newly | hits[j]
+                occ = jnp.maximum(occ, jnp.where(newly, 1.0, 0.0))
+                occ_scr[:] = occ
+                all_done = _packet_reduce_min(occ, p_sub)
+            if unified:
+                roots_col = pltpu.bitcast(lrows[:, 12:13], jnp.int32)
+                insts_col = (
+                    pltpu.bitcast(lrows[:, 13:14], jnp.int32) if closest else None
+                )
+
+            nret = jnp.int32(0)
+            nrest = jnp.int32(0)
+            nent = jnp.int32(0)
+            for k in range(K):
+                c = cur_ref[k]
+                at_leaf = jnp.logical_and(c < 0, c > _DONE)
+                if unified:
+                    leaf_code = -c - 1
+                    is_entry = jnp.logical_and(at_leaf, leaf_code >= n_tri)
+                    is_tri = jnp.logical_and(at_leaf, leaf_code < n_tri)
+                else:
+                    is_tri = at_leaf
+                sp_k = sp_ref[k]
+                if closest:
+                    can_pop = jnp.logical_and(is_tri, sp_k > 0)
+                else:
+                    early = all_done[k] > 0.0
+                    can_pop = jnp.logical_and(
+                        jnp.logical_and(is_tri, jnp.logical_not(early)), sp_k > 0
+                    )
+                spm = jnp.maximum(sp_k - 1, 0)
+                popped = stack_ref[k, spm]
+                nxt = jnp.where(is_tri, jnp.where(can_pop, popped, _DONE), c)
+                if not closest:
+                    # a fully-occluded packet retires wherever it stands
+                    nxt = jnp.where(jnp.logical_and(at_leaf, early), _DONE, nxt)
+                    if unified:
+                        is_entry = jnp.logical_and(
+                            is_entry, jnp.logical_not(early)
                         )
-                        bv_scr[pl.ds(wrow, 1), :] = jnp.zeros(
-                            (1, P_LANE), jnp.float32
-                        )
-                    inst_scr[pl.ds(k, 1), :] = jnp.full(
-                        (1, P_LANE), -1.0, jnp.float32
+                retired = jnp.logical_and(
+                    is_tri if closest else at_leaf, nxt == _DONE
+                )
+                ndone = ndone + jnp.where(retired, 1, 0).astype(jnp.int32)
+                nret = nret + jnp.where(retired, 1, 0).astype(jnp.int32)
+                if unified:
+                    need_rest = jnp.logical_and(
+                        jnp.logical_and(is_tri, obj_ref[k] == 1),
+                        jnp.logical_and(jnp.logical_not(retired), nxt >= tlas_lo),
                     )
-                    slotpkt_ref[k] = q
-                    cur_ref[k] = tlas_lo
-                    sp_ref[k] = 0
-                    obj_ref[k] = 0
-                    queue_ref[0] = q + 1
-
-                @pl.when(jnp.logical_and(retired, jnp.logical_not(q < n_packets)))
-                def _(k=k):
-                    slotpkt_ref[k] = -1
-                    cur_ref[k] = _DONE
-
-    def _restore_block(nrest):
-        @pl.when(nrest > 0)
-        def _():
-            for k in range(K):
-                c = cur_ref[k]
-                resting = c == _RESTORE
-
-                @pl.when(resting)
-                def _(k=k):
-                    q = slotpkt_ref[k]
-                    for j in range(p_sub):
-                        wrow = k + j * K
-                        src = q * p_sub + j
-                        dxr = dx_ref[pl.ds(src, 1), :]
-                        dyr = dy_ref[pl.ds(src, 1), :]
-                        dzr = dz_ref[pl.ds(src, 1), :]
-                        w_ox[pl.ds(wrow, 1), :] = ox_ref[pl.ds(src, 1), :]
-                        w_oy[pl.ds(wrow, 1), :] = oy_ref[pl.ds(src, 1), :]
-                        w_oz[pl.ds(wrow, 1), :] = oz_ref[pl.ds(src, 1), :]
-                        w_dx[pl.ds(wrow, 1), :] = dxr
-                        w_dy[pl.ds(wrow, 1), :] = dyr
-                        w_dz[pl.ds(wrow, 1), :] = dzr
-                        w_ix[pl.ds(wrow, 1), :] = 1.0 / dxr
-                        w_iy[pl.ds(wrow, 1), :] = 1.0 / dyr
-                        w_iz[pl.ds(wrow, 1), :] = 1.0 / dzr
-                    inst_scr[pl.ds(k, 1), :] = jnp.full(
-                        (1, P_LANE), -1.0, jnp.float32
+                    nrest = nrest + jnp.where(need_rest, 1, 0).astype(jnp.int32)
+                    nent = nent + jnp.where(is_entry, 1, 0).astype(jnp.int32)
+                    aux_ref[k] = nxt
+                    cur_ref[k] = jnp.where(
+                        is_entry,
+                        _ENTRY,
+                        jnp.where(
+                            retired, _RETIRE, jnp.where(need_rest, _RESTORE, nxt)
+                        ),
                     )
-                    obj_ref[k] = 0
-                    cur_ref[k] = aux_ref[k]
+                else:
+                    cur_ref[k] = jnp.where(retired, _RETIRE, nxt)
+                sp_ref[k] = jnp.where(can_pop, spm, sp_k)
+            _swap_block(nret)
+            if unified:
+                _entry_block(nent, lrows, roots_col, insts_col)
+                _restore_block(nrest)
 
-    def _entry_block(nent, lrows, roots_col, insts_col):
-        @pl.when(nent > 0)
-        def _():
-            for k in range(K):
-                c = cur_ref[k]
-                entering = c == _ENTRY
+            return ndone, it + 1
 
-                @pl.when(entering)
-                def _(k=k):
-                    q = slotpkt_ref[k]
-                    m = [lrows[k, i] for i in range(12)]
-                    for j in range(p_sub):
-                        wrow = k + j * K
-                        src = q * p_sub + j
-                        oxr = ox_ref[pl.ds(src, 1), :]
-                        oyr = oy_ref[pl.ds(src, 1), :]
-                        ozr = oz_ref[pl.ds(src, 1), :]
-                        dxr = dx_ref[pl.ds(src, 1), :]
-                        dyr = dy_ref[pl.ds(src, 1), :]
-                        dzr = dz_ref[pl.ds(src, 1), :]
-                        o0 = m[0] * oxr + m[1] * oyr + m[2] * ozr + m[3]
-                        o1 = m[4] * oxr + m[5] * oyr + m[6] * ozr + m[7]
-                        o2 = m[8] * oxr + m[9] * oyr + m[10] * ozr + m[11]
-                        d0 = m[0] * dxr + m[1] * dyr + m[2] * dzr
-                        d1 = m[4] * dxr + m[5] * dyr + m[6] * dzr
-                        d2 = m[8] * dxr + m[9] * dyr + m[10] * dzr
-                        w_ox[pl.ds(wrow, 1), :] = o0
-                        w_oy[pl.ds(wrow, 1), :] = o1
-                        w_oz[pl.ds(wrow, 1), :] = o2
-                        w_dx[pl.ds(wrow, 1), :] = d0
-                        w_dy[pl.ds(wrow, 1), :] = d1
-                        w_dz[pl.ds(wrow, 1), :] = d2
-                        w_ix[pl.ds(wrow, 1), :] = 1.0 / d0
-                        w_iy[pl.ds(wrow, 1), :] = 1.0 / d1
-                        w_iz[pl.ds(wrow, 1), :] = 1.0 / d2
-                    inst_scr[pl.ds(k, 1), :] = jnp.full(
-                        (1, P_LANE),
-                        insts_col[k, 0].astype(jnp.float32),
-                        jnp.float32,
-                    )
-                    obj_ref[k] = 1
-                    cur_ref[k] = roots_col[k, 0]
+        init = (jnp.int32(0), jnp.int32(0))  # (packets retired, iterations)
 
-    init = (jnp.int32(0), jnp.int32(0))
+        def cond(state):
+            return state[0] < n_packets
 
-    def cond(state):
-        return state[0] < n_packets
+        def body(state):
+            n_int, n_leaf = _phase_counts(cur_ref)
+            do_leaf = jnp.logical_or(n_leaf >= leaf_thresh, n_int == 0)
+            return jax.lax.cond(do_leaf, leaf_iter, node_iter, state)
 
-    def node_iter(state):
-        ndone, it = state
-        for k in range(K):
-            c = cur_ref[k]
+        _, it = jax.lax.while_loop(cond, body, init)
+        it_out[:] = jnp.full((8, P_LANE), it, jnp.int32)
 
-            @pl.when(c >= 0)
-            def _(k=k):
-                nrow_scr[pl.ds(k, 1), :] = nodes_ref[pl.ds(c, 1), :]
-
-        rows = nrow_scr[:]
-        ox, oy, oz = w_ox[:], w_oy[:], w_oz[:]
-        ix, iy, iz = w_ix[:], w_iy[:], w_iz[:]
-        t_min = w_tmin[:]
-        best_t = bt_scr[:]
-        lhit, lt = _slab(rows, 0, p_sub, ox, oy, oz, ix, iy, iz, t_min, best_t)
-        rhit, rt = _slab(rows, 6, p_sub, ox, oy, oz, ix, iy, iz, t_min, best_t)
-        any_l = _packet_reduce_max(jnp.where(lhit, 1.0, 0.0), p_sub)
-        any_r = _packet_reduce_max(jnp.where(rhit, 1.0, 0.0), p_sub)
-        min_lt = _packet_reduce_min(jnp.where(lhit, lt, _BIG), p_sub)
-        min_rt = _packet_reduce_min(jnp.where(rhit, rt, _BIG), p_sub)
-        l_near_v = jnp.where(min_lt <= min_rt, 1.0, 0.0)
-        left_c = pltpu.bitcast(rows[:, 12:13], jnp.int32)
-        right_c = pltpu.bitcast(rows[:, 13:14], jnp.int32)
-
-        nret = jnp.int32(0)
-        nrest = jnp.int32(0)
-        for k in range(K):
-            c = cur_ref[k]
-            was_int = c >= 0
-
-            hit_l = any_l[k] > 0.0
-            hit_r = any_r[k] > 0.0
-            l_near = l_near_v[k] > 0.0
-            lk, rk = left_c[k, 0], right_c[k, 0]
-            near = jnp.where(l_near, lk, rk)
-            far = jnp.where(l_near, rk, lk)
-            both = jnp.logical_and(jnp.logical_and(hit_l, hit_r), was_int)
-            one = jnp.logical_and(jnp.logical_xor(hit_l, hit_r), was_int)
-            single = jnp.where(hit_l, lk, rk)
-
-            sp_k = sp_ref[k]
-
-            @pl.when(both)
-            def _(k=k):
-                stack_ref[k, sp_k] = far
-
-            sp2 = jnp.where(both, sp_k + 1, sp_k)
-            want_pop = jnp.logical_and(
-                was_int, jnp.logical_not(jnp.logical_or(both, one))
-            )
-            can_pop = jnp.logical_and(want_pop, sp2 > 0)
-            spm = jnp.maximum(sp2 - 1, 0)
-            popped = stack_ref[k, spm]
-            nxt = jnp.where(
-                both, near, jnp.where(one, single, jnp.where(can_pop, popped, _DONE))
-            )
-            nxt = jnp.where(was_int, nxt, c)
-            retired = jnp.logical_and(was_int, nxt == _DONE)
-            # object-space slot popping back to a TLAS row: world restore
-            need_rest = jnp.logical_and(
-                jnp.logical_and(was_int, obj_ref[k] == 1),
-                jnp.logical_and(jnp.logical_not(retired), nxt >= tlas_lo),
-            )
-            ndone = ndone + jnp.where(retired, 1, 0).astype(jnp.int32)
-            nret = nret + jnp.where(retired, 1, 0).astype(jnp.int32)
-            nrest = nrest + jnp.where(need_rest, 1, 0).astype(jnp.int32)
-            aux_ref[k] = nxt
-            cur_ref[k] = jnp.where(
-                retired, _RETIRE, jnp.where(need_rest, _RESTORE, nxt)
-            )
-            sp_ref[k] = jnp.where(can_pop, spm, sp2)
-        _swap_block(nret)
-        _restore_block(nrest)
-
-        return ndone, it + 1
-
-    def leaf_iter(state):
-        ndone, it = state
-        for k in range(K):
-            c = cur_ref[k]
-
-            @pl.when(jnp.logical_and(c < 0, c > _DONE))
-            def _(k=k):
-                lrow_scr[pl.ds(k, 1), :] = leafs_ref[pl.ds(-c - 1, 1), :]
-
-        lrows = lrow_scr[:]
-        ox, oy, oz = w_ox[:], w_oy[:], w_oz[:]
-        dx, dy, dz = w_dx[:], w_dy[:], w_dz[:]
-        t_min = w_tmin[:]
-        best_t = bt_scr[:]
-        best_prim = bp_scr[:]
-        best_inst = bi_scr[:]
-        best_u = bu_scr[:]
-        best_v = bv_scr[:]
-        hits, ts, us, vs, prims = _mt(
-            lrows, L, p_sub, ox, oy, oz, dx, dy, dz, t_min, best_t
-        )
-        inst_b = _bcast(inst_scr[:, 0:1], p_sub).astype(jnp.int32)
-        for j in range(L):
-            take = hits[j] & (ts[j] < best_t)
-            best_t = jnp.where(take, ts[j], best_t)
-            best_prim = jnp.where(take, prims[j], best_prim)
-            best_inst = jnp.where(take, inst_b, best_inst)
-            best_u = jnp.where(take, us[j], best_u)
-            best_v = jnp.where(take, vs[j], best_v)
-        bt_scr[:] = best_t
-        bp_scr[:] = best_prim
-        bi_scr[:] = best_inst
-        bu_scr[:] = best_u
-        bv_scr[:] = best_v
-        roots_col = pltpu.bitcast(lrows[:, 12:13], jnp.int32)
-        insts_col = pltpu.bitcast(lrows[:, 13:14], jnp.int32)
-
-        nret = jnp.int32(0)
-        nrest = jnp.int32(0)
-        nent = jnp.int32(0)
-        for k in range(K):
-            c = cur_ref[k]
-            at_leaf = jnp.logical_and(c < 0, c > _DONE)
-            leaf_code = -c - 1
-            is_entry = jnp.logical_and(at_leaf, leaf_code >= n_tri)
-            is_tri = jnp.logical_and(at_leaf, leaf_code < n_tri)
-            sp_k = sp_ref[k]
-            can_pop = jnp.logical_and(is_tri, sp_k > 0)
-            spm = jnp.maximum(sp_k - 1, 0)
-            popped = stack_ref[k, spm]
-            nxt = jnp.where(is_tri, jnp.where(can_pop, popped, _DONE), c)
-            retired = jnp.logical_and(is_tri, nxt == _DONE)
-            need_rest = jnp.logical_and(
-                jnp.logical_and(is_tri, obj_ref[k] == 1),
-                jnp.logical_and(jnp.logical_not(retired), nxt >= tlas_lo),
-            )
-            ndone = ndone + jnp.where(retired, 1, 0).astype(jnp.int32)
-            nret = nret + jnp.where(retired, 1, 0).astype(jnp.int32)
-            nrest = nrest + jnp.where(need_rest, 1, 0).astype(jnp.int32)
-            nent = nent + jnp.where(is_entry, 1, 0).astype(jnp.int32)
-            aux_ref[k] = nxt
-            cur_ref[k] = jnp.where(
-                is_entry,
-                _ENTRY,
-                jnp.where(
-                    retired, _RETIRE, jnp.where(need_rest, _RESTORE, nxt)
-                ),
-            )
-            sp_ref[k] = jnp.where(can_pop, spm, sp_k)
-        _swap_block(nret)
-        _entry_block(nent, lrows, roots_col, insts_col)
-        _restore_block(nrest)
-
-        return ndone, it + 1
-
-    def body(state):
-        n_int, n_leaf = _phase_counts(cur_ref)
-        do_leaf = jnp.logical_or(n_leaf >= LEAF_THRESH, n_int == 0)
-        return jax.lax.cond(do_leaf, leaf_iter, node_iter, state)
-
-    _, it = jax.lax.while_loop(cond, body, init)
-    it_out[:] = jnp.full((8, P_LANE), it, jnp.int32)
-
-
-def _persistent_any_unified_kernel(
-    L,
-    depth,
-    p_sub,
-    n_packets,
-    n_tri,
-    tlas_lo,
-    nodes_ref,
-    leafs_ref,
-    ox_ref,
-    oy_ref,
-    oz_ref,
-    dx_ref,
-    dy_ref,
-    dz_ref,
-    tmin_ref,
-    tmax_ref,
-    occ_out,
-    it_out,
-    w_ox,
-    w_oy,
-    w_oz,
-    w_dx,
-    w_dy,
-    w_dz,
-    w_ix,
-    w_iy,
-    w_iz,
-    w_tmin,
-    w_tmax,
-    occ_scr,
-    nrow_scr,
-    lrow_scr,
-    stack_ref,
-    cur_ref,
-    sp_ref,
-    slotpkt_ref,
-    obj_ref,
-    aux_ref,
-    queue_ref,
-):
-    """Persistent any-hit traversal of a UnifiedBvh (binary rows). See
-    _persistent_closest_unified_kernel for the two-level mechanics; the
-    per-ray state is just the sticky occluded flag, and fully-occluded
-    packets early-out exactly as in _persistent_any_kernel."""
-    for k in range(K):
-        if k < min(K, n_packets):
-            slotpkt_ref[k] = k
-            cur_ref[k] = tlas_lo
-            sp_ref[k] = 0
-            obj_ref[k] = 0
-            for j in range(p_sub):
-                wrow = k + j * K
-                src = k * p_sub + j
-                dxr = dx_ref[pl.ds(src, 1), :]
-                dyr = dy_ref[pl.ds(src, 1), :]
-                dzr = dz_ref[pl.ds(src, 1), :]
-                tmx = tmax_ref[pl.ds(src, 1), :]
-                w_ox[pl.ds(wrow, 1), :] = ox_ref[pl.ds(src, 1), :]
-                w_oy[pl.ds(wrow, 1), :] = oy_ref[pl.ds(src, 1), :]
-                w_oz[pl.ds(wrow, 1), :] = oz_ref[pl.ds(src, 1), :]
-                w_dx[pl.ds(wrow, 1), :] = dxr
-                w_dy[pl.ds(wrow, 1), :] = dyr
-                w_dz[pl.ds(wrow, 1), :] = dzr
-                w_ix[pl.ds(wrow, 1), :] = 1.0 / dxr
-                w_iy[pl.ds(wrow, 1), :] = 1.0 / dyr
-                w_iz[pl.ds(wrow, 1), :] = 1.0 / dzr
-                w_tmin[pl.ds(wrow, 1), :] = tmin_ref[pl.ds(src, 1), :]
-                w_tmax[pl.ds(wrow, 1), :] = tmx
-                occ_scr[pl.ds(wrow, 1), :] = jnp.where(tmx <= 0.0, 1.0, 0.0)
-        else:
-            slotpkt_ref[k] = -1
-            cur_ref[k] = _DONE
-            sp_ref[k] = 0
-            obj_ref[k] = 0
-        aux_ref[k] = _DONE
-    queue_ref[0] = min(K, n_packets)
-    lrow_scr[:] = jnp.zeros_like(lrow_scr)
-
-    def _swap_block(nret):
-        @pl.when(nret > 0)
-        def _():
-            for k in range(K):
-                c = cur_ref[k]
-                retired = c == _RETIRE
-                p_old = slotpkt_ref[k]
-                for j in range(p_sub):
-                    wrow = k + j * K
-
-                    @pl.when(retired)
-                    def _(j=j, wrow=wrow, p_old=p_old):
-                        dst = p_old * p_sub + j
-                        occ_out[pl.ds(dst, 1), :] = occ_scr[pl.ds(wrow, 1), :] > 0.0
-
-                q = queue_ref[0]
-                have = jnp.logical_and(retired, q < n_packets)
-
-                @pl.when(have)
-                def _(k=k, q=q):
-                    for j in range(p_sub):
-                        wrow = k + j * K
-                        src = q * p_sub + j
-                        dxr = dx_ref[pl.ds(src, 1), :]
-                        dyr = dy_ref[pl.ds(src, 1), :]
-                        dzr = dz_ref[pl.ds(src, 1), :]
-                        tmx = tmax_ref[pl.ds(src, 1), :]
-                        w_ox[pl.ds(wrow, 1), :] = ox_ref[pl.ds(src, 1), :]
-                        w_oy[pl.ds(wrow, 1), :] = oy_ref[pl.ds(src, 1), :]
-                        w_oz[pl.ds(wrow, 1), :] = oz_ref[pl.ds(src, 1), :]
-                        w_dx[pl.ds(wrow, 1), :] = dxr
-                        w_dy[pl.ds(wrow, 1), :] = dyr
-                        w_dz[pl.ds(wrow, 1), :] = dzr
-                        w_ix[pl.ds(wrow, 1), :] = 1.0 / dxr
-                        w_iy[pl.ds(wrow, 1), :] = 1.0 / dyr
-                        w_iz[pl.ds(wrow, 1), :] = 1.0 / dzr
-                        w_tmin[pl.ds(wrow, 1), :] = tmin_ref[pl.ds(src, 1), :]
-                        w_tmax[pl.ds(wrow, 1), :] = tmx
-                        occ_scr[pl.ds(wrow, 1), :] = jnp.where(tmx <= 0.0, 1.0, 0.0)
-                    slotpkt_ref[k] = q
-                    cur_ref[k] = tlas_lo
-                    sp_ref[k] = 0
-                    obj_ref[k] = 0
-                    queue_ref[0] = q + 1
-
-                @pl.when(jnp.logical_and(retired, jnp.logical_not(q < n_packets)))
-                def _(k=k):
-                    slotpkt_ref[k] = -1
-                    cur_ref[k] = _DONE
-
-    def _restore_block(nrest):
-        @pl.when(nrest > 0)
-        def _():
-            for k in range(K):
-                c = cur_ref[k]
-                resting = c == _RESTORE
-
-                @pl.when(resting)
-                def _(k=k):
-                    q = slotpkt_ref[k]
-                    for j in range(p_sub):
-                        wrow = k + j * K
-                        src = q * p_sub + j
-                        dxr = dx_ref[pl.ds(src, 1), :]
-                        dyr = dy_ref[pl.ds(src, 1), :]
-                        dzr = dz_ref[pl.ds(src, 1), :]
-                        w_ox[pl.ds(wrow, 1), :] = ox_ref[pl.ds(src, 1), :]
-                        w_oy[pl.ds(wrow, 1), :] = oy_ref[pl.ds(src, 1), :]
-                        w_oz[pl.ds(wrow, 1), :] = oz_ref[pl.ds(src, 1), :]
-                        w_dx[pl.ds(wrow, 1), :] = dxr
-                        w_dy[pl.ds(wrow, 1), :] = dyr
-                        w_dz[pl.ds(wrow, 1), :] = dzr
-                        w_ix[pl.ds(wrow, 1), :] = 1.0 / dxr
-                        w_iy[pl.ds(wrow, 1), :] = 1.0 / dyr
-                        w_iz[pl.ds(wrow, 1), :] = 1.0 / dzr
-                    obj_ref[k] = 0
-                    cur_ref[k] = aux_ref[k]
-
-    def _entry_block(nent, lrows, roots_col):
-        @pl.when(nent > 0)
-        def _():
-            for k in range(K):
-                c = cur_ref[k]
-                entering = c == _ENTRY
-
-                @pl.when(entering)
-                def _(k=k):
-                    q = slotpkt_ref[k]
-                    m = [lrows[k, i] for i in range(12)]
-                    for j in range(p_sub):
-                        wrow = k + j * K
-                        src = q * p_sub + j
-                        oxr = ox_ref[pl.ds(src, 1), :]
-                        oyr = oy_ref[pl.ds(src, 1), :]
-                        ozr = oz_ref[pl.ds(src, 1), :]
-                        dxr = dx_ref[pl.ds(src, 1), :]
-                        dyr = dy_ref[pl.ds(src, 1), :]
-                        dzr = dz_ref[pl.ds(src, 1), :]
-                        o0 = m[0] * oxr + m[1] * oyr + m[2] * ozr + m[3]
-                        o1 = m[4] * oxr + m[5] * oyr + m[6] * ozr + m[7]
-                        o2 = m[8] * oxr + m[9] * oyr + m[10] * ozr + m[11]
-                        d0 = m[0] * dxr + m[1] * dyr + m[2] * dzr
-                        d1 = m[4] * dxr + m[5] * dyr + m[6] * dzr
-                        d2 = m[8] * dxr + m[9] * dyr + m[10] * dzr
-                        w_ox[pl.ds(wrow, 1), :] = o0
-                        w_oy[pl.ds(wrow, 1), :] = o1
-                        w_oz[pl.ds(wrow, 1), :] = o2
-                        w_dx[pl.ds(wrow, 1), :] = d0
-                        w_dy[pl.ds(wrow, 1), :] = d1
-                        w_dz[pl.ds(wrow, 1), :] = d2
-                        w_ix[pl.ds(wrow, 1), :] = 1.0 / d0
-                        w_iy[pl.ds(wrow, 1), :] = 1.0 / d1
-                        w_iz[pl.ds(wrow, 1), :] = 1.0 / d2
-                    obj_ref[k] = 1
-                    cur_ref[k] = roots_col[k, 0]
-
-    init = (jnp.int32(0), jnp.int32(0))
-
-    def cond(state):
-        return state[0] < n_packets
-
-    def node_iter(state):
-        ndone, it = state
-        for k in range(K):
-            c = cur_ref[k]
-
-            @pl.when(c >= 0)
-            def _(k=k):
-                nrow_scr[pl.ds(k, 1), :] = nodes_ref[pl.ds(c, 1), :]
-
-        rows = nrow_scr[:]
-        ox, oy, oz = w_ox[:], w_oy[:], w_oz[:]
-        ix, iy, iz = w_ix[:], w_iy[:], w_iz[:]
-        t_min = w_tmin[:]
-        occ = occ_scr[:]
-        t_cap = jnp.where(occ > 0.0, -_BIG, w_tmax[:])
-        lhit, _ = _slab(rows, 0, p_sub, ox, oy, oz, ix, iy, iz, t_min, t_cap)
-        rhit, _ = _slab(rows, 6, p_sub, ox, oy, oz, ix, iy, iz, t_min, t_cap)
-        any_l = _packet_reduce_max(jnp.where(lhit, 1.0, 0.0), p_sub)
-        any_r = _packet_reduce_max(jnp.where(rhit, 1.0, 0.0), p_sub)
-        left_c = pltpu.bitcast(rows[:, 12:13], jnp.int32)
-        right_c = pltpu.bitcast(rows[:, 13:14], jnp.int32)
-        all_done = _packet_reduce_min(occ, p_sub)
-
-        nret = jnp.int32(0)
-        nrest = jnp.int32(0)
-        for k in range(K):
-            c = cur_ref[k]
-            was_int = c >= 0
-
-            hit_l = any_l[k] > 0.0
-            hit_r = any_r[k] > 0.0
-            lk, rk = left_c[k, 0], right_c[k, 0]
-            both = jnp.logical_and(jnp.logical_and(hit_l, hit_r), was_int)
-            one = jnp.logical_and(jnp.logical_xor(hit_l, hit_r), was_int)
-            single = jnp.where(hit_l, lk, rk)
-
-            sp_k = sp_ref[k]
-
-            @pl.when(both)
-            def _(k=k):
-                stack_ref[k, sp_k] = rk
-
-            sp2 = jnp.where(both, sp_k + 1, sp_k)
-            early = all_done[k] > 0.0
-            want_pop = jnp.logical_and(
-                was_int, jnp.logical_not(jnp.logical_or(both, one))
-            )
-            can_pop = jnp.logical_and(
-                jnp.logical_and(want_pop, jnp.logical_not(early)), sp2 > 0
-            )
-            spm = jnp.maximum(sp2 - 1, 0)
-            popped = stack_ref[k, spm]
-            nxt = jnp.where(
-                both, lk, jnp.where(one, single, jnp.where(can_pop, popped, _DONE))
-            )
-            nxt = jnp.where(was_int, nxt, c)
-            nxt = jnp.where(jnp.logical_and(was_int, early), _DONE, nxt)
-            retired = jnp.logical_and(was_int, nxt == _DONE)
-            need_rest = jnp.logical_and(
-                jnp.logical_and(was_int, obj_ref[k] == 1),
-                jnp.logical_and(jnp.logical_not(retired), nxt >= tlas_lo),
-            )
-            ndone = ndone + jnp.where(retired, 1, 0).astype(jnp.int32)
-            nret = nret + jnp.where(retired, 1, 0).astype(jnp.int32)
-            nrest = nrest + jnp.where(need_rest, 1, 0).astype(jnp.int32)
-            aux_ref[k] = nxt
-            cur_ref[k] = jnp.where(
-                retired, _RETIRE, jnp.where(need_rest, _RESTORE, nxt)
-            )
-            sp_ref[k] = jnp.where(can_pop, spm, sp2)
-        _swap_block(nret)
-        _restore_block(nrest)
-
-        return ndone, it + 1
-
-    def leaf_iter(state):
-        ndone, it = state
-        for k in range(K):
-            c = cur_ref[k]
-
-            @pl.when(jnp.logical_and(c < 0, c > _DONE))
-            def _(k=k):
-                lrow_scr[pl.ds(k, 1), :] = leafs_ref[pl.ds(-c - 1, 1), :]
-
-        lrows = lrow_scr[:]
-        ox, oy, oz = w_ox[:], w_oy[:], w_oz[:]
-        dx, dy, dz = w_dx[:], w_dy[:], w_dz[:]
-        t_min = w_tmin[:]
-        occ = occ_scr[:]
-        hits, _, _, _, _ = _mt(
-            lrows, L, p_sub, ox, oy, oz, dx, dy, dz, t_min, w_tmax[:]
-        )
-        newly = hits[0]
-        for j in range(1, L):
-            newly = newly | hits[j]
-        occ = jnp.maximum(occ, jnp.where(newly, 1.0, 0.0))
-        occ_scr[:] = occ
-        all_done = _packet_reduce_min(occ, p_sub)
-        roots_col = pltpu.bitcast(lrows[:, 12:13], jnp.int32)
-
-        nret = jnp.int32(0)
-        nrest = jnp.int32(0)
-        nent = jnp.int32(0)
-        for k in range(K):
-            c = cur_ref[k]
-            at_leaf = jnp.logical_and(c < 0, c > _DONE)
-            leaf_code = -c - 1
-            is_entry = jnp.logical_and(at_leaf, leaf_code >= n_tri)
-            is_tri = jnp.logical_and(at_leaf, leaf_code < n_tri)
-            early = all_done[k] > 0.0
-            sp_k = sp_ref[k]
-            can_pop = jnp.logical_and(
-                jnp.logical_and(is_tri, jnp.logical_not(early)), sp_k > 0
-            )
-            spm = jnp.maximum(sp_k - 1, 0)
-            popped = stack_ref[k, spm]
-            nxt = jnp.where(is_tri, jnp.where(can_pop, popped, _DONE), c)
-            # a fully-occluded packet retires wherever it stands
-            nxt = jnp.where(jnp.logical_and(at_leaf, early), _DONE, nxt)
-            is_entry = jnp.logical_and(is_entry, jnp.logical_not(early))
-            retired = jnp.logical_and(at_leaf, nxt == _DONE)
-            need_rest = jnp.logical_and(
-                jnp.logical_and(is_tri, obj_ref[k] == 1),
-                jnp.logical_and(jnp.logical_not(retired), nxt >= tlas_lo),
-            )
-            ndone = ndone + jnp.where(retired, 1, 0).astype(jnp.int32)
-            nret = nret + jnp.where(retired, 1, 0).astype(jnp.int32)
-            nrest = nrest + jnp.where(need_rest, 1, 0).astype(jnp.int32)
-            nent = nent + jnp.where(is_entry, 1, 0).astype(jnp.int32)
-            aux_ref[k] = nxt
-            cur_ref[k] = jnp.where(
-                is_entry,
-                _ENTRY,
-                jnp.where(
-                    retired, _RETIRE, jnp.where(need_rest, _RESTORE, nxt)
-                ),
-            )
-            sp_ref[k] = jnp.where(can_pop, spm, sp_k)
-        _swap_block(nret)
-        _entry_block(nent, lrows, roots_col)
-        _restore_block(nrest)
-
-        return ndone, it + 1
-
-    def body(state):
-        n_int, n_leaf = _phase_counts(cur_ref)
-        do_leaf = jnp.logical_or(n_leaf >= LEAF_THRESH, n_int == 0)
-        return jax.lax.cond(do_leaf, leaf_iter, node_iter, state)
-
-    _, it = jax.lax.while_loop(cond, body, init)
-    it_out[:] = jnp.full((8, P_LANE), it, jnp.int32)
+    return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "depth", "n_packets", "n_tri", "tlas_lo", "p_sub", "interpret"),
+    static_argnames=(
+        "L", "depth", "n_packets", "n_tri", "tlas_lo", "p_sub", "kk", "lt",
+        "interpret",
+    ),
 )
 def _closest_unified_call_persistent(
     nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax,
-    *, L, depth, n_packets, n_tri, tlas_lo, p_sub, interpret=False,
+    *, L, depth, n_packets, n_tri, tlas_lo, p_sub, kk=None, lt=None,
+    interpret=False,
 ):
+    kk = K if kk is None else kk
+    lt = LEAF_THRESH if lt is None else lt
     rows = n_packets * p_sub
     shape = (rows, P_LANE)
-    wshape = (K * p_sub, P_LANE)
+    wshape = (kk * p_sub, P_LANE)
     return pl.pallas_call(
-        functools.partial(
-            _persistent_closest_unified_kernel, L, depth, p_sub, n_packets, n_tri, tlas_lo
+        _make_persistent_kernel(
+            closest=True, unified=True, L=L, depth=depth, p_sub=p_sub,
+            n_packets=n_packets, kk=kk, leaf_thresh=lt, n_tri=n_tri,
+            tlas_lo=tlas_lo,
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
@@ -1932,15 +1179,15 @@ def _closest_unified_call_persistent(
             pltpu.VMEM(wshape, jnp.int32),  # bi
             pltpu.VMEM(wshape, jnp.float32),  # bu
             pltpu.VMEM(wshape, jnp.float32),  # bv
-            pltpu.VMEM((K, P_LANE), jnp.float32),  # inst
-            pltpu.VMEM((K, 16), jnp.float32),
-            pltpu.VMEM((K, 10 * L), jnp.float32),
-            pltpu.SMEM((K, depth), jnp.int32),
-            pltpu.SMEM((K,), jnp.int32),  # cur
-            pltpu.SMEM((K,), jnp.int32),  # sp
-            pltpu.SMEM((K,), jnp.int32),  # slotpkt
-            pltpu.SMEM((K,), jnp.int32),  # obj
-            pltpu.SMEM((K,), jnp.int32),  # aux
+            pltpu.VMEM((kk, P_LANE), jnp.float32),  # inst
+            pltpu.VMEM((kk, 16), jnp.float32),
+            pltpu.VMEM((kk, 10 * L), jnp.float32),
+            pltpu.SMEM((kk, depth), jnp.int32),
+            pltpu.SMEM((kk,), jnp.int32),  # cur
+            pltpu.SMEM((kk,), jnp.int32),  # sp
+            pltpu.SMEM((kk,), jnp.int32),  # slotpkt
+            pltpu.SMEM((kk,), jnp.int32),  # obj
+            pltpu.SMEM((kk,), jnp.int32),  # aux
             pltpu.SMEM((1,), jnp.int32),
         ],
         compiler_params=None
@@ -1952,17 +1199,25 @@ def _closest_unified_call_persistent(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "depth", "n_packets", "n_tri", "tlas_lo", "p_sub", "interpret"),
+    static_argnames=(
+        "L", "depth", "n_packets", "n_tri", "tlas_lo", "p_sub", "kk", "lt",
+        "interpret",
+    ),
 )
 def _any_unified_call_persistent(
     nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax,
-    *, L, depth, n_packets, n_tri, tlas_lo, p_sub, interpret=False,
+    *, L, depth, n_packets, n_tri, tlas_lo, p_sub, kk=None, lt=None,
+    interpret=False,
 ):
+    kk = K if kk is None else kk
+    lt = LEAF_THRESH if lt is None else lt
     rows = n_packets * p_sub
-    wshape = (K * p_sub, P_LANE)
+    wshape = (kk * p_sub, P_LANE)
     return pl.pallas_call(
-        functools.partial(
-            _persistent_any_unified_kernel, L, depth, p_sub, n_packets, n_tri, tlas_lo
+        _make_persistent_kernel(
+            closest=False, unified=True, L=L, depth=depth, p_sub=p_sub,
+            n_packets=n_packets, kk=kk, leaf_thresh=lt, n_tri=n_tri,
+            tlas_lo=tlas_lo,
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
@@ -1973,14 +1228,14 @@ def _any_unified_call_persistent(
         scratch_shapes=[pltpu.VMEM(wshape, jnp.float32)] * 11
         + [
             pltpu.VMEM(wshape, jnp.float32),  # occ
-            pltpu.VMEM((K, 16), jnp.float32),
-            pltpu.VMEM((K, 10 * L), jnp.float32),
-            pltpu.SMEM((K, depth), jnp.int32),
-            pltpu.SMEM((K,), jnp.int32),  # cur
-            pltpu.SMEM((K,), jnp.int32),  # sp
-            pltpu.SMEM((K,), jnp.int32),  # slotpkt
-            pltpu.SMEM((K,), jnp.int32),  # obj
-            pltpu.SMEM((K,), jnp.int32),  # aux
+            pltpu.VMEM((kk, 16), jnp.float32),
+            pltpu.VMEM((kk, 10 * L), jnp.float32),
+            pltpu.SMEM((kk, depth), jnp.int32),
+            pltpu.SMEM((kk,), jnp.int32),  # cur
+            pltpu.SMEM((kk,), jnp.int32),  # sp
+            pltpu.SMEM((kk,), jnp.int32),  # slotpkt
+            pltpu.SMEM((kk,), jnp.int32),  # obj
+            pltpu.SMEM((kk,), jnp.int32),  # aux
             pltpu.SMEM((1,), jnp.int32),
         ],
         compiler_params=None
@@ -2005,11 +1260,13 @@ def unified_persistent_eligible(ubvh, n_rays: int, p_sub: int = DEFAULT_P_SUB) -
 
 def traverse_closest_unified_persistent(
     ubvh, orig, dir, t_min, active, t_max=None,
-    interpret=False, p_sub=DEFAULT_P_SUB,
+    interpret=False, p_sub=DEFAULT_P_SUB, k_slots=None, leaf_thresh=None,
 ):
     """Work-queue persistent closest-hit traversal of a UnifiedBvh.
     Same contract as ops.traverse.traverse_closest_unified_blocked:
-    returns (t, prim, inst, u, v), prim/inst = -1 on miss."""
+    returns (t, prim, inst, u, v), prim/inst = -1 on miss. k_slots /
+    leaf_thresh override the module defaults (tests use small slot counts
+    so interpret-mode coverage reaches the swap/restore paths)."""
     R = orig.shape[0]
     n_packets = max(1, -(-R // (p_sub * P_LANE)))
     ox = _pack_rays_pm(jnp.where(active, orig[:, 0], _BIG), n_packets, p_sub, _BIG)
@@ -2028,7 +1285,7 @@ def traverse_closest_unified_persistent(
         ubvh.nodes, ubvh.leaf_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
         L=ubvh.leaf_size, depth=depth, n_packets=n_packets,
         n_tri=int(ubvh.n_tri_leaves), tlas_lo=int(ubvh.tlas_lo),
-        p_sub=p_sub, interpret=interpret,
+        p_sub=p_sub, kk=k_slots, lt=leaf_thresh, interpret=interpret,
     )
     t = _unpack_rays_pm(t, R)
     prim = _unpack_rays_pm(prim, R)
@@ -2047,7 +1304,7 @@ def traverse_closest_unified_persistent(
 
 def traverse_any_unified_persistent(
     ubvh, orig, dir, t_min, t_max, mask,
-    interpret=False, p_sub=DEFAULT_P_SUB,
+    interpret=False, p_sub=DEFAULT_P_SUB, k_slots=None, leaf_thresh=None,
 ):
     """Work-queue persistent any-hit traversal of a UnifiedBvh. Same
     contract as traverse_any_unified_blocked: (R,) bool occluded."""
@@ -2069,7 +1326,7 @@ def traverse_any_unified_persistent(
         ubvh.nodes, ubvh.leaf_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
         L=ubvh.leaf_size, depth=depth, n_packets=n_packets,
         n_tri=int(ubvh.n_tri_leaves), tlas_lo=int(ubvh.tlas_lo),
-        p_sub=p_sub, interpret=interpret,
+        p_sub=p_sub, kk=k_slots, lt=leaf_thresh, interpret=interpret,
     )
     return _unpack_rays_pm(occ, R) & mask
 
@@ -2089,17 +1346,23 @@ def _unpack_rays_pm(y, R):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("L", "depth", "n_packets", "p_sub", "interpret")
+    jax.jit,
+    static_argnames=("L", "depth", "n_packets", "p_sub", "kk", "lt", "interpret"),
 )
 def _closest_call_persistent(
     nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax,
-    *, L, depth, n_packets, p_sub, interpret=False,
+    *, L, depth, n_packets, p_sub, kk=None, lt=None, interpret=False,
 ):
+    kk = K if kk is None else kk
+    lt = LEAF_THRESH if lt is None else lt
     rows = n_packets * p_sub
     shape = (rows, P_LANE)
-    wshape = (K * p_sub, P_LANE)
+    wshape = (kk * p_sub, P_LANE)
     return pl.pallas_call(
-        functools.partial(_persistent_closest_kernel, L, depth, p_sub, n_packets),
+        _make_persistent_kernel(
+            closest=True, unified=False, L=L, depth=depth, p_sub=p_sub,
+            n_packets=n_packets, kk=kk, leaf_thresh=lt,
+        ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_shape=[
@@ -2115,12 +1378,12 @@ def _closest_call_persistent(
             pltpu.VMEM(wshape, jnp.int32),  # bp
             pltpu.VMEM(wshape, jnp.float32),  # bu
             pltpu.VMEM(wshape, jnp.float32),  # bv
-            pltpu.VMEM((K, 16), jnp.float32),
-            pltpu.VMEM((K, 10 * L), jnp.float32),
-            pltpu.SMEM((K, depth), jnp.int32),
-            pltpu.SMEM((K,), jnp.int32),
-            pltpu.SMEM((K,), jnp.int32),
-            pltpu.SMEM((K,), jnp.int32),
+            pltpu.VMEM((kk, 16), jnp.float32),
+            pltpu.VMEM((kk, 10 * L), jnp.float32),
+            pltpu.SMEM((kk, depth), jnp.int32),
+            pltpu.SMEM((kk,), jnp.int32),
+            pltpu.SMEM((kk,), jnp.int32),
+            pltpu.SMEM((kk,), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
         ],
         compiler_params=None
@@ -2131,16 +1394,22 @@ def _closest_call_persistent(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("L", "depth", "n_packets", "p_sub", "interpret")
+    jax.jit,
+    static_argnames=("L", "depth", "n_packets", "p_sub", "kk", "lt", "interpret"),
 )
 def _any_call_persistent(
     nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax,
-    *, L, depth, n_packets, p_sub, interpret=False,
+    *, L, depth, n_packets, p_sub, kk=None, lt=None, interpret=False,
 ):
+    kk = K if kk is None else kk
+    lt = LEAF_THRESH if lt is None else lt
     rows = n_packets * p_sub
-    wshape = (K * p_sub, P_LANE)
+    wshape = (kk * p_sub, P_LANE)
     return pl.pallas_call(
-        functools.partial(_persistent_any_kernel, L, depth, p_sub, n_packets),
+        _make_persistent_kernel(
+            closest=False, unified=False, L=L, depth=depth, p_sub=p_sub,
+            n_packets=n_packets, kk=kk, leaf_thresh=lt,
+        ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_shape=[
@@ -2150,12 +1419,12 @@ def _any_call_persistent(
         scratch_shapes=[pltpu.VMEM(wshape, jnp.float32)] * 11
         + [
             pltpu.VMEM(wshape, jnp.float32),  # occ
-            pltpu.VMEM((K, 16), jnp.float32),
-            pltpu.VMEM((K, 10 * L), jnp.float32),
-            pltpu.SMEM((K, depth), jnp.int32),
-            pltpu.SMEM((K,), jnp.int32),
-            pltpu.SMEM((K,), jnp.int32),
-            pltpu.SMEM((K,), jnp.int32),
+            pltpu.VMEM((kk, 16), jnp.float32),
+            pltpu.VMEM((kk, 10 * L), jnp.float32),
+            pltpu.SMEM((kk, depth), jnp.int32),
+            pltpu.SMEM((kk,), jnp.int32),
+            pltpu.SMEM((kk,), jnp.int32),
+            pltpu.SMEM((kk,), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
         ],
         compiler_params=None
@@ -2168,6 +1437,7 @@ def _any_call_persistent(
 def traverse_closest_persistent(
     pbvh: PackedBvh, orig, dir, t_min, active, t_max=None,
     interpret=False, return_iters=False, p_sub=DEFAULT_P_SUB,
+    k_slots=None, leaf_thresh=None,
 ):
     """Work-queue persistent closest-hit traversal. Same contract as
     traverse_closest_packet."""
@@ -2188,7 +1458,7 @@ def traverse_closest_persistent(
     t, prim, u, v, iters = _closest_call_persistent(
         pbvh.nodes, pbvh.leaf_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
         L=pbvh.leaf_size, depth=depth, n_packets=n_packets, p_sub=p_sub,
-        interpret=interpret,
+        kk=k_slots, lt=leaf_thresh, interpret=interpret,
     )
     if return_iters:
         return iters[0, 0]
@@ -2208,6 +1478,7 @@ def traverse_closest_persistent(
 def traverse_any_persistent(
     pbvh: PackedBvh, orig, dir, t_min, t_max, mask,
     interpret=False, return_iters=False, p_sub=DEFAULT_P_SUB,
+    k_slots=None, leaf_thresh=None,
 ):
     """Work-queue persistent any-hit traversal. Same contract as
     traverse_any_packet."""
@@ -2228,7 +1499,7 @@ def traverse_any_persistent(
     occ, iters = _any_call_persistent(
         pbvh.nodes, pbvh.leaf_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
         L=pbvh.leaf_size, depth=depth, n_packets=n_packets, p_sub=p_sub,
-        interpret=interpret,
+        kk=k_slots, lt=leaf_thresh, interpret=interpret,
     )
     if return_iters:
         return iters[0, 0]

@@ -31,6 +31,12 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), (AXIS,))
 
 
+def padded_height(fb_height: int, n_dev: int) -> int:
+    """Rows per frame after padding H up to a multiple of the device count
+    (every device renders the same shard shape; XLA needs static shapes)."""
+    return -(-fb_height // n_dev) * n_dev
+
+
 def make_sharded_render_step(
     meta: SceneMeta,
     trace_closest,
@@ -41,19 +47,20 @@ def make_sharded_render_step(
     spp: int,
 ):
     """Build a jitted SPMD render step: (flat, view, accum, frame_id) ->
-    (accum', rays). `accum` is row-sharded (H, W, 3); the scene is
-    replicated; rays is psum-reduced over ICI."""
+    (accum', rays). `accum` is row-sharded (padded_height(H, n_dev), W, 3);
+    the scene is replicated; rays is psum-reduced over ICI. When H does not
+    divide over the mesh, the last device's rows past H wrap onto row 0
+    (cheap, coherent), are excluded from the ray count, and are cropped at
+    readback — callers allocate accum at padded_height()."""
     n_dev = mesh.devices.size
-    assert fb_height % n_dev == 0, (
-        f"fb_height {fb_height} must divide evenly over {n_dev} devices"
-    )
-    shard_h = fb_height // n_dev
+    shard_h = -(-fb_height // n_dev)
 
     def step_local(flat: FlatScene, view: camera_ops.ViewParams, accum, frame_id):
         row0 = jax.lax.axis_index(AXIS) * shard_h
         ys, xs = jnp.mgrid[0:shard_h, 0:fb_width]
         px = xs.reshape(-1).astype(jnp.uint32)
-        py = (ys.reshape(-1) + row0).astype(jnp.uint32)
+        py_raw = ys.reshape(-1) + row0
+        py = (py_raw % max(fb_height, 1)).astype(jnp.uint32)
         illum, rays = path_tracer.render_pixels(
             flat,
             meta,
@@ -69,6 +76,10 @@ def make_sharded_render_step(
         )
         illum = illum.reshape(shard_h, fb_width, 3)
         accum = path_tracer.progressive_accum(accum, illum, frame_id)
+        # scale this device's ray count by its real (uncropped) rows so
+        # padding never inflates rays/s
+        real = jnp.clip(jnp.int32(fb_height) - row0.astype(jnp.int32), 0, shard_h)
+        rays = rays * real // shard_h
         rays = jax.lax.psum(rays, AXIS)
         return accum, rays
 

@@ -13,6 +13,18 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# Small packet-kernel slot count for the suite: the kernel graphs unroll
+# K slot loops, so interpret-mode compiles scale with K (K=64 made the
+# kernel tests the 30-minute tail of the round-2 suite). K only affects
+# SCHEDULING, never results — every kernel test compares bit-exactly
+# against the XLA oracle — and a small K with more packets than slots
+# reaches the swap/restore paths that K=64 tests provably could not
+# (ADVICE.md r2 #1: the stale-row window needs >= LEAF_THRESH waiting
+# slots). The production K=64 config is machine-checked at bench scale on
+# real hardware by bench.py's parity gate.
+os.environ.setdefault("CHAMELEONRT_PACKET_K", "8")
+os.environ.setdefault("CHAMELEONRT_LEAF_THRESH", "3")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -28,7 +28,9 @@ pytestmark = pytest.mark.skipif(
 @pytest.fixture(scope="module")
 def scene_and_rays():
     rng = np.random.default_rng(0)
-    n_tri, n_rays = 3000, 2048
+    # 4096 rays = 16 packets at p_sub=2: more packets than the suite's
+    # K=8 slots (conftest), so the persistent kernels' swap path runs
+    n_tri, n_rays = 3000, 4096
     centers = rng.uniform(-10, 10, (n_tri, 3)).astype(np.float32)
     v0 = centers + rng.uniform(-0.3, 0.3, (n_tri, 3)).astype(np.float32)
     e1 = rng.uniform(-0.6, 0.6, (n_tri, 3)).astype(np.float32)
@@ -55,8 +57,8 @@ def test_packet_closest_matches_xla(scene_and_rays):
     assert np.array_equal(np.asarray(p0), np.asarray(p1))
     assert np.array_equal(np.asarray(t0), np.asarray(t1))
     # barycentrics agree to float associativity (different fusion order)
-    np.testing.assert_allclose(np.asarray(u0), np.asarray(u1), atol=2e-6)
-    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(u0), np.asarray(u1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=1e-5)
     assert int(np.asarray(p1 >= 0).sum()) > 0  # scene actually hit
 
 
@@ -81,8 +83,8 @@ def test_persistent_closest_matches_xla(scene_and_rays):
     )
     assert np.array_equal(np.asarray(p0), np.asarray(p1))
     assert np.array_equal(np.asarray(t0), np.asarray(t1))
-    np.testing.assert_allclose(np.asarray(u0), np.asarray(u1), atol=2e-6)
-    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(u0), np.asarray(u1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=1e-5)
     assert int(np.asarray(p1 >= 0).sum()) > 0
 
 

@@ -155,7 +155,9 @@ def test_unified_persistent_matches_blocked():
     ubvh = flat.blas[0].closest
 
     r = np.random.default_rng(11)
-    R = 600
+    # 16 packets vs the suite's 8 slots: swap + entry + restore paths all
+    # run (the round-2 stale-leaf-row divergence lived exactly there)
+    R = 4096
     orig = jnp.asarray(r.uniform(-5, 5, (R, 3)).astype(np.float32))
     d = r.normal(size=(R, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=1, keepdims=True)
@@ -172,8 +174,8 @@ def test_unified_persistent_matches_blocked():
     assert np.array_equal(np.asarray(p0), np.asarray(p1))
     assert np.array_equal(np.asarray(i0), np.asarray(i1))
     assert np.array_equal(np.asarray(t0), np.asarray(t1))
-    np.testing.assert_allclose(np.asarray(u0), np.asarray(u1), atol=2e-6)
-    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(u0), np.asarray(u1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=1e-5)
     assert int(np.asarray(p1 >= 0).sum()) > 0
 
     tmax = jnp.where(t0 < 1e19, t0 * 1.001, 20.0)
