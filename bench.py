@@ -17,6 +17,7 @@ headline config, with every config's numbers under "detail"."""
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -34,6 +35,10 @@ CONFIGS = [
     # occlusion, the real Rungholt's character) — the adversarially
     # divergent random soup stays as a separate stress config
     ("rungholt_city", "proc://city?n=610", 640, 360, 1, 1),
+    # San Miguel class (BASELINE configs[4]): ~10M instanced tris loaded
+    # THROUGH the PBRT loader (generated at bench time), quad light + NEE,
+    # 4 spp — first at-scale exercise of scene/pbrt_loader.py
+    ("san_miguel_pbrt", "gen://san_miguel", 1280, 720, 1, 4),
     ("rungholt_soup", "proc://random?n_tris=6700000&spread=12", 640, 360, 1, 1),
 ]
 
@@ -189,6 +194,14 @@ def run_config(url, width, height, frames, spp, warmup=1):
     from chameleonrt_tpu.core import get_backend
     from chameleonrt_tpu.scene.loader import load_scene
 
+    if url == "gen://san_miguel":
+        import tempfile
+
+        from chameleonrt_tpu.scene.pbrt_gen import generate_san_miguel_proxy
+
+        url = generate_san_miguel_proxy(
+            os.path.join(tempfile.gettempdir(), "crt_san_miguel")
+        )
     scene = load_scene(url)
     backend = get_backend("tpu")
     backend.initialize(width, height)
@@ -219,6 +232,7 @@ def run_config(url, width, height, frames, spp, warmup=1):
         "fps": round(1000.0 / ms, 2) if ms > 0 else 0,
         "rays_per_frame": int(np.mean(rays)),
         "tris": scene.unique_tris(),
+        "total_tris": scene.total_tris(),
         "spp": spp,
         "res": f"{width}x{height}",
         "scene_build_s": round(build_s, 2),

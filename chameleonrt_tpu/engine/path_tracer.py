@@ -50,30 +50,79 @@ TraceClosestFn = Callable[..., Hit]
 TraceAnyFn = Callable[..., jnp.ndarray]
 
 
-class ShadeResult(NamedTuple):
+class ShadeOut(NamedTuple):
+    """Per-lane outputs of the pre-occlusion shading stage: everything a
+    bounce needs except the two occlusion traversals (which run at full
+    wavefront width so the packet kernels see whole sorted batches)."""
+
     state: jnp.ndarray
-    illum: jnp.ndarray
-    throughput: jnp.ndarray
-    next_dir: jnp.ndarray
-    alive: jnp.ndarray
-    shadow_rays: jnp.ndarray  # int32 count of occlusion rays traced
+    c1: jnp.ndarray  # (R,3) light-branch contribution, pre-visibility
+    c2: jnp.ndarray  # (R,3) bsdf-branch contribution, pre-visibility
+    shoot1: jnp.ndarray  # light-branch shadow-ray mask
+    light_dir: jnp.ndarray
+    light_dist: jnp.ndarray
+    shoot2: jnp.ndarray  # bsdf-branch shadow-ray mask
+    w_i2: jnp.ndarray  # bsdf-branch sample direction
+    t_light: jnp.ndarray
+    new_throughput: jnp.ndarray
+    cont_dir: jnp.ndarray  # continuation direction
+    new_active: jnp.ndarray
 
 
-def _sample_direct_light(
+def _shade_bounce(
     flat: FlatScene,
     meta: SceneMeta,
-    trace_any: TraceAnyFn,
-    mat: bsdf_ops.MaterialBatch,
-    hit_p,
-    n,
-    v_x,
-    v_y,
-    w_o,
+    bounce,
     state,
+    orig,
+    dir,
+    throughput,
     active,
-):
-    """NEE with MIS over {light sample, bsdf sample}
-    (reference render_embree.ispc:105-181). Returns (state, illum, rays)."""
+    hit_p,
+    hit_tri,
+    hit_inst,
+    hit_u,
+    hit_v,
+) -> ShadeOut:
+    """The whole shading stage of one bounce for one block of lanes:
+    shading-input gather, material decode, NEE setup for both MIS branches
+    (reference render_embree.ispc:105-181 minus the rtcOccluded calls),
+    continuation BSDF sample, Russian roulette. Pure per-lane math — safe
+    to run over any sub-block of the wavefront (RNG streams are per-lane),
+    which lets _shade_bounce_blocked skip blocks with no live lane."""
+    w_o = -dir
+
+    # --- Shading inputs: ONE fused (R, 16) row gather per hit
+    # (e1, e2, uv triple, geom slot / baked material id — see
+    # FlatScene.shade_rows; many narrow gathers are slow on TPU)
+    tri = jnp.clip(hit_tri, 0, max(meta.num_tris - 1, 0))
+    srow = flat.shade_rows[tri]
+    e1 = srow[:, 0:3]
+    e2 = srow[:, 3:6]
+    ng_obj = jnp.cross(e1, e2)
+    if meta.num_instances == 1:
+        # static instance: world normal via one small matmul
+        inv3 = flat.inst_inv[0, :3, :3]
+        normal = normalize(ng_obj @ inv3)
+        mat_id = jax.lax.bitcast_convert_type(srow[:, 13], jnp.int32)
+    else:
+        inst = jnp.clip(hit_inst, 0, meta.num_instances - 1)
+        inv = flat.inst_inv[inst]
+        # world normal = (world_to_object)^T * ng  (ispc:287-290)
+        normal = normalize(jnp.einsum("rji,rj->ri", inv[:, :3, :3], ng_obj))
+        geom_slot = jax.lax.bitcast_convert_type(srow[:, 12], jnp.int32)
+        mat_id = flat.inst_mat_table[inst, geom_slot]
+    w = hit_u[..., None]
+    wv = hit_v[..., None]
+    uv = (1.0 - w - wv) * srow[:, 6:8] + w * srow[:, 8:10] + wv * srow[:, 10:12]
+    mat = unpack_material(flat, meta, mat_id, uv)
+
+    # Face-forward for non-transmissive materials (ispc:297-299)
+    flip = (mat.specular_transmission == 0.0) & (dot(w_o, normal) < 0.0)
+    n = jnp.where(flip[..., None], -normal, normal)
+    v_x, v_y = ortho_basis(n)
+
+    # --- NEE with MIS over {light sample, bsdf sample} (ispc:105-181)
     num_lights = meta.num_lights
     state, u_l = rng_ops.lcg_randomf(state)
     if num_lights == 1:
@@ -88,7 +137,7 @@ def _sample_direct_light(
         )
         light = flat.lights.gather(light_id)
 
-    # --- Light-sampling branch setup (ispc:132-141)
+    # Light-sampling branch setup (ispc:132-141)
     state, s2 = rng_ops.lcg_randomf2(state)
     light_pos = light_ops.sample_quad_light_position(light, s2)
     to_light = light_pos - hit_p
@@ -97,51 +146,149 @@ def _sample_direct_light(
     light_pdf = light_ops.quad_light_pdf(light, light_pos, hit_p, light_dir)
     b_pdf = bsdf_ops.disney_pdf(mat, n, w_o, light_dir, v_x, v_y)
 
-    # --- BSDF-sampling branch setup (ispc:155-166)
+    # BSDF-sampling branch setup (ispc:155-166)
     state, f2, w_i, pdf2 = bsdf_ops.sample_disney_brdf(mat, n, w_o, v_x, v_y, state)
     qhit, t_light, light_pos2 = light_ops.quad_intersect(light, hit_p, w_i)
     light_pdf2 = light_ops.quad_light_pdf(light, light_pos2, hit_p, w_i)
     f2_nonzero = jnp.any(f2 != 0.0, axis=-1)
-    shoot = active & f2_nonzero & (pdf2 >= EPSILON) & qhit & (light_pdf2 >= EPSILON)
-
-    # --- Two occlusion traversals, one per MIS branch. The light-branch
-    # rays inherit the wavefront's per-bounce sort (origins in Morton
-    # order, directions converging on the light) so its packets are
-    # coherent; stacking the sparse, direction-incoherent bsdf-branch rays
-    # into the same call (the round-1 fused-2R form) would destroy that
-    # coherence for the packet kernels. Lanes whose MIS weight is provably
-    # zero (either pdf below epsilon) skip the shadow ray entirely, as the
-    # reference does (render_embree.ispc:142-147 shoots only after the pdf
-    # checks pass).
+    shoot2 = active & f2_nonzero & (pdf2 >= EPSILON) & qhit & (light_pdf2 >= EPSILON)
+    # Lanes whose MIS weight is provably zero (either pdf below epsilon)
+    # skip the shadow ray entirely, as the reference does (ispc:142-147)
     shoot1 = active & (light_pdf >= EPSILON) & (b_pdf >= EPSILON)
-    occluded1 = trace_any(flat, hit_p, light_dir, light_dist, shoot1)
-    occluded2 = trace_any(flat, hit_p, w_i, t_light, shoot)
 
     f1 = bsdf_ops.disney_brdf(mat, n, w_o, light_dir, v_x, v_y)
     w1 = power_heuristic(1.0, light_pdf, 1.0, b_pdf)
-    take1 = shoot1 & ~occluded1
-    contrib1 = jnp.where(
-        take1[..., None],
+    c1 = (
         f1
         * light.emission
         * jnp.abs(dot(light_dir, n))[..., None]
-        * (w1 / jnp.maximum(light_pdf, 1e-20))[..., None],
-        0.0,
+        * (w1 / jnp.maximum(light_pdf, 1e-20))[..., None]
     )
-
     w2 = power_heuristic(1.0, pdf2, 1.0, light_pdf2)
-    take2 = shoot & ~occluded2
-    contrib2 = jnp.where(
-        take2[..., None],
+    c2 = (
         f2
         * light.emission
         * jnp.abs(dot(w_i, n))[..., None]
-        * (w2 / jnp.maximum(pdf2, 1e-20))[..., None],
-        0.0,
+        * (w2 / jnp.maximum(pdf2, 1e-20))[..., None]
     )
 
-    rays = shoot1.astype(jnp.int32).sum() + shoot.astype(jnp.int32).sum()
-    return state, contrib1 + contrib2, rays
+    # --- Continuation (ispc:313-320)
+    state, f, w_ic, pdf = bsdf_ops.sample_disney_brdf(mat, n, w_o, v_x, v_y, state)
+    cont_ok = (pdf != 0.0) & jnp.any(f != 0.0, axis=-1)
+    new_tp = jnp.where(
+        active[..., None],
+        throughput
+        * f
+        * (jnp.abs(dot(w_ic, n)) / jnp.where(pdf == 0.0, 1.0, pdf))[..., None],
+        throughput,
+    )
+    new_active = active & cont_ok
+
+    # --- Russian roulette after bounce 3 (ispc:327-335)
+    do_rr = (bounce + 1) > 3
+    state_rr, u_rr = rng_ops.lcg_randomf(state)
+    state = jnp.where(do_rr, state_rr, state)
+    q = jnp.maximum(0.05, 1.0 - jnp.max(new_tp, axis=-1))
+    killed = do_rr & (u_rr < q)
+    new_active = new_active & ~killed
+    new_tp = jnp.where(
+        (do_rr & new_active)[..., None],
+        new_tp / jnp.maximum(1.0 - q, 1e-6)[..., None],
+        new_tp,
+    )
+    return ShadeOut(
+        state=state,
+        c1=c1,
+        c2=c2,
+        shoot1=shoot1,
+        light_dir=light_dir,
+        light_dist=light_dist,
+        shoot2=shoot2,
+        w_i2=w_i,
+        t_light=t_light,
+        new_throughput=new_tp,
+        cont_dir=w_ic,
+        new_active=new_active,
+    )
+
+
+def _shade_block_rows() -> int:
+    import os
+
+    try:
+        return int(os.environ.get("CHAMELEONRT_SHADE_BLOCK", "65536"))
+    except ValueError:
+        raise ValueError("CHAMELEONRT_SHADE_BLOCK must be an integer") from None
+
+
+def _shade_bounce_blocked(
+    flat, meta, bounce, state, orig, dir, throughput, active, hit_p, hit
+) -> ShadeOut:
+    """Run _shade_bounce over fixed-size lane blocks with a per-block
+    liveness skip: the wavefront is sorted actives-first every bounce, so
+    late-bounce dead tails collapse into all-dead blocks whose whole
+    shading stage (texture decode, 3 Disney BSDF evaluations, RNG) is one
+    predicated no-op. This is the effective stream compaction of SURVEY §7
+    step 4 under XLA's static shapes: identical per-lane math and RNG
+    draws (dead lanes never revive, so skipped draws are unobservable),
+    measured ~f_active of full-shading cost instead of 1.0."""
+    R = orig.shape[0]
+    B = _shade_block_rows()
+    if R <= B:
+        return _shade_bounce(
+            flat, meta, bounce, state, orig, dir, throughput, active,
+            hit_p, hit.tri, hit.inst, hit.u, hit.v,
+        )
+    nb = -(-R // B)
+    Rp = nb * B
+
+    def pad(x):
+        if x.shape[0] == Rp:
+            return x
+        return jnp.pad(x, ((0, Rp - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
+
+    def stack(x):
+        return pad(x).reshape((nb, B) + x.shape[1:])
+
+    ins = tuple(
+        stack(x)
+        for x in (
+            state, orig, dir, throughput, active,
+            hit_p, hit.tri, hit.inst, hit.u, hit.v,
+        )
+    )
+
+    def blk(args):
+        st, o, d, tp, act, hp, tri, inst, u, v = args
+
+        def live(_):
+            return _shade_bounce(
+                flat, meta, bounce, st, o, d, tp, act, hp, tri, inst, u, v
+            )
+
+        def dead(_):
+            z1 = jnp.zeros((B,), jnp.float32)
+            z3 = jnp.zeros((B, 3), jnp.float32)
+            no = jnp.zeros((B,), bool)
+            return ShadeOut(
+                state=st,
+                c1=z3,
+                c2=z3,
+                shoot1=no,
+                light_dir=z3.at[:, 2].set(1.0),
+                light_dist=z1,
+                shoot2=no,
+                w_i2=z3.at[:, 2].set(1.0),
+                t_light=z1,
+                new_throughput=tp,
+                cont_dir=d,
+                new_active=no,
+            )
+
+        return jax.lax.cond(jnp.any(act), live, dead, None)
+
+    outs = jax.lax.map(blk, ins)
+    return ShadeOut(*(o.reshape((Rp,) + o.shape[2:])[:R] for o in outs))
 
 
 def _sort_wavefront(state, orig, dir, throughput, illum, active, lane_pixel):
@@ -213,77 +360,42 @@ def trace_path(
         hit = trace_closest(flat, orig, dir, t_min, active)
         rays = rays + active.astype(jnp.int32).sum()
 
-        w_o = -dir
         missed = active & ~hit.hit
         illum = illum + jnp.where(
             missed[..., None], throughput * camera_ops.miss_shader(dir), 0.0
         )
         active = active & hit.hit
-
-        # --- Shading inputs: ONE fused (R, 16) row gather per hit
-        # (e1, e2, uv triple, geom slot / baked material id — see
-        # FlatScene.shade_rows; many narrow gathers are slow on TPU)
-        tri = jnp.clip(hit.tri, 0, max(meta.num_tris - 1, 0))
         hit_p = orig + hit.t[..., None] * dir
-        srow = flat.shade_rows[tri]
-        e1 = srow[:, 0:3]
-        e2 = srow[:, 3:6]
-        ng_obj = jnp.cross(e1, e2)
-        if meta.num_instances == 1:
-            # static instance: world normal via one small matmul
-            inv3 = flat.inst_inv[0, :3, :3]
-            normal = normalize(ng_obj @ inv3)
-            mat_id = jax.lax.bitcast_convert_type(srow[:, 13], jnp.int32)
-        else:
-            inst = jnp.clip(hit.inst, 0, meta.num_instances - 1)
-            inv = flat.inst_inv[inst]
-            # world normal = (world_to_object)^T * ng  (ispc:287-290)
-            normal = normalize(jnp.einsum("rji,rj->ri", inv[:, :3, :3], ng_obj))
-            geom_slot = jax.lax.bitcast_convert_type(srow[:, 12], jnp.int32)
-            mat_id = flat.inst_mat_table[inst, geom_slot]
-        w = hit.u[..., None]
-        wv = hit.v[..., None]
-        uv = (1.0 - w - wv) * srow[:, 6:8] + w * srow[:, 8:10] + wv * srow[:, 10:12]
-        mat = unpack_material(flat, meta, mat_id, uv)
 
-        # Face-forward for non-transmissive materials (ispc:297-299)
-        flip = (mat.specular_transmission == 0.0) & (dot(w_o, normal) < 0.0)
-        normal = jnp.where(flip[..., None], -normal, normal)
-        v_x, v_y = ortho_basis(normal)
-
-        state, direct, shadow_rays = _sample_direct_light(
-            flat, meta, trace_any, mat, hit_p, normal, v_x, v_y, w_o, state, active
+        # --- pre-occlusion shading stage, blocked with per-block dead-skip
+        sh = _shade_bounce_blocked(
+            flat, meta, bounce, state, orig, dir, throughput, active, hit_p, hit
         )
-        rays = rays + shadow_rays
+        state = sh.state
+
+        # --- Two occlusion traversals, one per MIS branch, at full
+        # wavefront width. The light-branch rays inherit the per-bounce
+        # sort (origins in Morton order, directions converging on the
+        # light) so its packets are coherent; stacking the sparse,
+        # direction-incoherent bsdf-branch rays into the same call (the
+        # round-1 fused-2R form) would destroy that coherence.
+        occluded1 = trace_any(flat, hit_p, sh.light_dir, sh.light_dist, sh.shoot1)
+        occluded2 = trace_any(flat, hit_p, sh.w_i2, sh.t_light, sh.shoot2)
+        rays = (
+            rays
+            + sh.shoot1.astype(jnp.int32).sum()
+            + sh.shoot2.astype(jnp.int32).sum()
+        )
+        direct = jnp.where(
+            (sh.shoot1 & ~occluded1)[..., None], sh.c1, 0.0
+        ) + jnp.where((sh.shoot2 & ~occluded2)[..., None], sh.c2, 0.0)
         illum = illum + jnp.where(active[..., None], throughput * direct, 0.0)
 
-        # Continuation (ispc:313-320)
-        state, f, w_i, pdf = bsdf_ops.sample_disney_brdf(mat, normal, w_o, v_x, v_y, state)
-        cont_ok = (pdf != 0.0) & jnp.any(f != 0.0, axis=-1)
-        throughput = jnp.where(
-            active[..., None],
-            throughput
-            * f
-            * (jnp.abs(dot(w_i, normal)) / jnp.where(pdf == 0.0, 1.0, pdf))[..., None],
-            throughput,
-        )
-        active = active & cont_ok
+        throughput = sh.new_throughput
+        active = sh.new_active
         orig = jnp.where(active[..., None], hit_p, orig)
-        dir = jnp.where(active[..., None], w_i, dir)
+        dir = jnp.where(active[..., None], sh.cont_dir, dir)
         t_min = jnp.float32(EPSILON)
-
-        # Russian roulette after bounce 3 (ispc:327-335)
-        do_rr = (bounce + 1) > 3
-        state_rr, u_rr = rng_ops.lcg_randomf(state)
-        state = jnp.where(do_rr, state_rr, state)
-        q = jnp.maximum(0.05, 1.0 - jnp.max(throughput, axis=-1))
-        killed = do_rr & (u_rr < q)
-        active = active & ~killed
-        throughput = jnp.where(
-            (do_rr & active)[..., None],
-            throughput / jnp.maximum(1.0 - q, 1e-6)[..., None],
-            throughput,
-        )
         return state, orig, dir, t_min, throughput, illum, active, lane_pixel, rays
 
     carry = (state, orig, dir, t_min, throughput, illum, active, lane_pixel, rays)

@@ -39,6 +39,7 @@ from chameleonrt_tpu.ops.traverse import (
 from chameleonrt_tpu.ops.traverse_packet import (
     packet_eligible,
     persistent_eligible,
+    persistent_stream_eligible,
     traverse_any_packet,
     traverse_any_persistent,
     traverse_closest_packet,
@@ -519,6 +520,19 @@ def make_trace_fns(meta: SceneMeta):
                     inst_active,
                     t_max=best.t,
                 )
+            elif _packet_enabled() and persistent_stream_eligible(
+                pbvh_c, o.shape[0]
+            ):
+                # tables too big for VMEM: DMA-streamed variant (HBM tables)
+                t, prim, u, v = traverse_closest_persistent(
+                    pbvh_c,
+                    o,
+                    d,
+                    jnp.broadcast_to(jnp.float32(t_min), o.shape[:1]),
+                    inst_active,
+                    t_max=best.t,
+                    stream=True,
+                )
             elif _packet_enabled() and packet_eligible(pbvh_c):
                 t, prim, u, v = traverse_closest_packet(
                     pbvh_c,
@@ -580,6 +594,17 @@ def make_trace_fns(meta: SceneMeta):
                 jnp.broadcast_to(jnp.float32(t_min), orig.shape[:1]),
                 active,
             )
+        elif _unified_persistent_enabled() and persistent_stream_eligible(
+            ubvh, orig.shape[0]
+        ):
+            t, prim, inst, u, v = traverse_closest_unified_persistent(
+                ubvh,
+                orig,
+                dir,
+                jnp.broadcast_to(jnp.float32(t_min), orig.shape[:1]),
+                active,
+                stream=True,
+            )
         else:
             t, prim, inst, u, v = traverse_closest_unified_blocked(
                 ubvh,
@@ -624,6 +649,18 @@ def make_trace_fns(meta: SceneMeta):
                     t_max,
                     inst_mask,
                 )
+            elif _packet_enabled() and persistent_stream_eligible(
+                pbvh_c, o.shape[0]
+            ):
+                occluded = occluded | traverse_any_persistent(
+                    pbvh_c,
+                    o,
+                    d,
+                    jnp.broadcast_to(jnp.float32(EPSILON), o.shape[:1]),
+                    t_max,
+                    inst_mask,
+                    stream=True,
+                )
             elif _packet_enabled() and packet_eligible(pbvh_c):
                 occluded = occluded | traverse_any_packet(
                     pbvh_c,
@@ -664,6 +701,18 @@ def make_trace_fns(meta: SceneMeta):
                 jnp.broadcast_to(jnp.float32(EPSILON), orig.shape[:1]),
                 jnp.broadcast_to(t_max, orig.shape[:1]),
                 mask,
+            )
+        elif _unified_persistent_enabled() and persistent_stream_eligible(
+            ubvh_bin, orig.shape[0]
+        ):
+            occ = traverse_any_unified_persistent(
+                ubvh_bin,
+                orig,
+                dir,
+                jnp.broadcast_to(jnp.float32(EPSILON), orig.shape[:1]),
+                jnp.broadcast_to(t_max, orig.shape[:1]),
+                mask,
+                stream=True,
             )
         else:
             occ = traverse_any_unified_blocked(

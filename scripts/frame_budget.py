@@ -19,6 +19,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from chameleonrt_tpu.utils import jaxcache  # noqa: E402,F401  (persistent XLA cache)
+
 
 def bench(fn, *args, n=3, **kw):
     import jax

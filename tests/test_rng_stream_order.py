@@ -61,40 +61,35 @@ def test_pipeline_consumes_stream_in_reference_order():
 
 
 def test_draws_per_bounce_budget():
-    """Structural constant: one bounce consumes exactly 8 draws before RR
-    (3 light + 2x sample_disney_brdf at 3 each minus shared... enumerated:
-    light pick 1, light uv 2, bsdf-branch sample 3, continuation sample 3
-    -> 9? No: the NEE bsdf-branch and the continuation each draw
-    (component, u1, u2) = 3; total = 1 + 2 + 3 + 3 = 9). Pin it by
-    simulation so any accidental change to the draw count is caught."""
-    import jax
-
+    """Structural constant: one bounce's shading stage consumes exactly 9
+    draws before RR (light pick 1 + light uv 2 + NEE bsdf-branch sample 3 +
+    continuation sample 3), plus 1 RR draw once (bounce+1) > 3. Pinned by
+    running the whole _shade_bounce stage so any accidental change to the
+    draw count or order is caught."""
     from chameleonrt_tpu.engine import path_tracer
     from chameleonrt_tpu.engine.device_scene import build_device_scene
-    from chameleonrt_tpu.ops import bsdf as bsdf_ops
-    from chameleonrt_tpu.ops.math import ortho_basis, normalize
     from chameleonrt_tpu.scene.loader import load_scene
 
     scene = load_scene("proc://cornell")
     flat, meta = build_device_scene(scene)
     B = 4
     state0 = rng.get_rng(jnp.arange(B, dtype=jnp.uint32), jnp.uint32(1))
-    mat = jax.tree.map(lambda x: jnp.broadcast_to(x[0], (B,) + x.shape[1:]), flat.materials)
-    n = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], jnp.float32), (B, 3))
-    v_x, v_y = ortho_basis(n)
-    w_o = jnp.broadcast_to(normalize(jnp.asarray([0.1, 0.9, 0.1], jnp.float32)), (B, 3))
+    orig = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 3.0], jnp.float32), (B, 3))
+    dir = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0], jnp.float32), (B, 3))
+    tp = jnp.ones((B, 3), jnp.float32)
+    active = jnp.ones((B,), bool)
     hit_p = jnp.zeros((B, 3), jnp.float32)
-    no_occl = lambda flat, o, dd, tm, m: jnp.zeros(o.shape[:1], bool)
-    state1, _, _ = path_tracer._sample_direct_light(
-        flat, meta, no_occl, mat, hit_p, n, v_x, v_y, w_o, state0, jnp.ones((B,), bool)
-    )
-    # NEE consumes exactly 6 draws (light pick + uv + bsdf-branch 3)
-    expect = state0
-    for _ in range(6):
-        expect, _ = rng.lcg_random(expect)
-    np.testing.assert_array_equal(np.asarray(state1), np.asarray(expect))
-    # the continuation sampler consumes exactly 3 more
-    state2, _, _, _ = bsdf_ops.sample_disney_brdf(mat, n, w_o, v_x, v_y, state1)
-    for _ in range(3):
-        expect, _ = rng.lcg_random(expect)
-    np.testing.assert_array_equal(np.asarray(state2), np.asarray(expect))
+    tri = jnp.zeros((B,), jnp.int32)
+    inst = jnp.zeros((B,), jnp.int32)
+    u = jnp.full((B,), 0.3, jnp.float32)
+    v = jnp.full((B,), 0.3, jnp.float32)
+
+    for bounce, extra_rr in ((jnp.uint32(0), 0), (jnp.uint32(4), 1)):
+        sh = path_tracer._shade_bounce(
+            flat, meta, bounce, state0, orig, dir, tp, active,
+            hit_p, tri, inst, u, v,
+        )
+        expect = state0
+        for _ in range(9 + extra_rr):
+            expect, _ = rng.lcg_random(expect)
+        np.testing.assert_array_equal(np.asarray(sh.state), np.asarray(expect))
