@@ -122,8 +122,14 @@ class JaxRenderBackend(RenderBackend):
             return 1
         # A chunk executes the FULL path loop (~5 closest + up to 10
         # occlusion passes), not one traversal, so size well under the
-        # wall: 250K-tri divisor keeps a 6.7M-tri soup chunk ~15-20 s.
-        return min(96, -(-T // 250_000))
+        # wall. With the packet kernels (incl. the DMA-streamed tier for
+        # >VMEM tables) a full 230K-ray frame on a 6.7M-tri scene measures
+        # ~2 s, so a few chunks give huge margin; the XLA gather fallback
+        # is ~100x slower and keeps the fine 250K-tri split.
+        from chameleonrt_tpu.engine.trace_bvh import _packet_enabled
+
+        div = 2_000_000 if _packet_enabled() else 250_000
+        return min(96, -(-T // div))
 
     def _build_render_fn(self):
         trace_closest, trace_any = self.make_trace_fns(self.meta)

@@ -83,6 +83,18 @@ def _unified_persistent_enabled() -> bool:
     return _packet_enabled()
 
 
+def _closest_table(pair):
+    """Node table for closest-hit persistent traversal: binary by default
+    (ordered near-first descent measured best there in round 2); env
+    CHAMELEONRT_CLOSEST_ARITY=4 routes closest through the BVH4 table for
+    A/B (the any slot shares the same leaf rows)."""
+    import os
+
+    if os.environ.get("CHAMELEONRT_CLOSEST_ARITY") == "4":
+        return pair.any
+    return pair.closest
+
+
 def _bucket_size(n: int) -> int:
     """Round a triangle count up to a bucketed size (~12.5% granularity) so
     the jitted BVH build compiles once per bucket instead of once per mesh —
@@ -510,7 +522,7 @@ def make_trace_fns(meta: SceneMeta):
                     flat, inst_id, orig, dir, jnp.float32(t_min), best.t
                 )
             o, d = _object_rays(flat, inst_id, orig, dir)
-            pbvh_c = flat.blas[mesh_id].closest
+            pbvh_c = _closest_table(flat.blas[mesh_id])
             if _packet_enabled() and persistent_eligible(pbvh_c, o.shape[0]):
                 t, prim, u, v = traverse_closest_persistent(
                     pbvh_c,
@@ -582,7 +594,7 @@ def make_trace_fns(meta: SceneMeta):
             unified_persistent_eligible,
         )
 
-        ubvh = flat.blas[0].closest
+        ubvh = _closest_table(flat.blas[0])
         if (
             _unified_persistent_enabled()
             and unified_persistent_eligible(ubvh, orig.shape[0])
@@ -638,11 +650,14 @@ def make_trace_fns(meta: SceneMeta):
                     flat, inst_id, orig, dir, jnp.float32(EPSILON), t_max
                 )
             o, d = _object_rays(flat, inst_id, orig, dir)
+            # persistent any-hit rides the BVH4 slot: ~half the node
+            # iterations for the 10 occlusion launches per frame; the
+            # grid fallback remains binary-only
+            pbvh_a = flat.blas[mesh_id].any
             pbvh_c = flat.blas[mesh_id].closest
-            if _packet_enabled() and persistent_eligible(pbvh_c, o.shape[0]):
-                # the packet kernels want the binary layout (closest slot)
+            if _packet_enabled() and persistent_eligible(pbvh_a, o.shape[0]):
                 occluded = occluded | traverse_any_persistent(
-                    pbvh_c,
+                    pbvh_a,
                     o,
                     d,
                     jnp.broadcast_to(jnp.float32(EPSILON), o.shape[:1]),
@@ -650,10 +665,10 @@ def make_trace_fns(meta: SceneMeta):
                     inst_mask,
                 )
             elif _packet_enabled() and persistent_stream_eligible(
-                pbvh_c, o.shape[0]
+                pbvh_a, o.shape[0]
             ):
                 occluded = occluded | traverse_any_persistent(
-                    pbvh_c,
+                    pbvh_a,
                     o,
                     d,
                     jnp.broadcast_to(jnp.float32(EPSILON), o.shape[:1]),
@@ -688,8 +703,8 @@ def make_trace_fns(meta: SceneMeta):
             unified_persistent_eligible,
         )
 
-        # the persistent kernel wants the binary layout (closest slot)
-        ubvh_bin = flat.blas[0].closest
+        # persistent any-hit rides the BVH4 slot (~half the node visits)
+        ubvh_bin = flat.blas[0].any
         if (
             _unified_persistent_enabled()
             and unified_persistent_eligible(ubvh_bin, orig.shape[0])

@@ -616,6 +616,7 @@ def _make_persistent_kernel(
     n_tri=0,
     tlas_lo=0,
     stream_tables=False,
+    arity=2,
 ):
     """Build the persistent work-queue traversal kernel body for one of the
     four (closest | any) x (flat | unified) variants — ONE parameterized
@@ -980,46 +981,77 @@ def _make_persistent_kernel(
             else:
                 occ = occ_scr[:]
                 t_cap = jnp.where(occ > 0.0, -_BIG, w_tmax[:])
-            lhit, lt = _slab(rows, 0, p_sub, ox, oy, oz, ix, iy, iz, t_min, t_cap)
-            rhit, rt = _slab(rows, 6, p_sub, ox, oy, oz, ix, iy, iz, t_min, t_cap)
-            hit_l = _packet_reduce_max(jnp.where(lhit, 1.0, 0.0), p_sub).reshape(
-                K, 1
-            ) > 0.0
-            hit_r = _packet_reduce_max(jnp.where(rhit, 1.0, 0.0), p_sub).reshape(
-                K, 1
-            ) > 0.0
-            lk = pltpu.bitcast(rows[:, 12:13], jnp.int32)  # (K,1)
-            rk = pltpu.bitcast(rows[:, 13:14], jnp.int32)
+            # per-child slab tests + per-packet reductions (arity-generic:
+            # the BVH4 layout packs 4 children per row at cols [6c, 6c+6),
+            # codes at cols [6*arity, 7*arity); empty slots are lo = hi =
+            # 1e30 rows that can never pass the slab test)
+            ch_hit = []
+            ch_ent = []
+            for c in range(arity):
+                hc, ec = _slab(
+                    rows, 6 * c, p_sub, ox, oy, oz, ix, iy, iz, t_min, t_cap
+                )
+                ch_hit.append(
+                    _packet_reduce_max(jnp.where(hc, 1.0, 0.0), p_sub).reshape(
+                        K, 1
+                    )
+                    > 0.0
+                )
+                if closest:
+                    ch_ent.append(
+                        _packet_reduce_min(
+                            jnp.where(hc, ec, _BIG), p_sub
+                        ).reshape(K, 1)
+                    )
+            codes = [
+                pltpu.bitcast(
+                    rows[:, 6 * arity + c : 6 * arity + c + 1], jnp.int32
+                )
+                for c in range(arity)
+            ]
 
             # --- vectorized slot stepping: all K decisions as (K,1) ops
             cur = cur_ref[:]
             sp = sp_ref[:]
             was_int = cur >= 0
-            both = hit_l & hit_r & was_int
-            one = (hit_l ^ hit_r) & was_int
-            single = jnp.where(hit_l, lk, rk)
+            if not closest:
+                early = _packet_reduce_min(occ, p_sub).reshape(K, 1) > 0.0
+            # choose the descend child: nearest entry (closest, ties to
+            # the lower child index — identical to the binary near/far
+            # selection) or the first hit child (any)
+            best_hit = ch_hit[0]
+            best_code = codes[0]
+            best_i = jnp.zeros((K, 1), jnp.int32)
             if closest:
-                min_lt = _packet_reduce_min(jnp.where(lhit, lt, _BIG), p_sub)
-                min_rt = _packet_reduce_min(jnp.where(rhit, rt, _BIG), p_sub)
-                l_near = (min_lt <= min_rt).reshape(K, 1)
-                # ordered descent: go near, push far
-                first = jnp.where(l_near, lk, rk)
-                push_val = jnp.where(l_near, rk, lk)
+                best_e = jnp.where(ch_hit[0], ch_ent[0], _BIG)
+                for c in range(1, arity):
+                    e_c = jnp.where(ch_hit[c], ch_ent[c], _BIG)
+                    better = ch_hit[c] & (
+                        jnp.logical_not(best_hit) | (e_c < best_e)
+                    )
+                    best_e = jnp.where(better, e_c, best_e)
+                    best_code = jnp.where(better, codes[c], best_code)
+                    best_i = jnp.where(better, c, best_i)
+                    best_hit = best_hit | ch_hit[c]
             else:
-                first = lk
-                push_val = rk
-            # one-hot masked push into the (K, depth) stacks
-            stack_ref[:] = jnp.where(
-                (iota_cols == sp) & both, push_val, stack_ref[:]
-            )
-            sp2 = jnp.where(both, sp + 1, sp)
-            want_pop = was_int & jnp.logical_not(both | one)
+                for c in range(1, arity):
+                    better = ch_hit[c] & jnp.logical_not(best_hit)
+                    best_code = jnp.where(better, codes[c], best_code)
+                    best_i = jnp.where(better, c, best_i)
+                    best_hit = best_hit | ch_hit[c]
+            # push the remaining hit children (child order) — one-hot
+            # masked writes into the (K, depth) stacks
+            sp2 = sp
+            for c in range(arity):
+                pm = ch_hit[c] & was_int & (best_i != c)
+                stack_ref[:] = jnp.where(
+                    (iota_cols == sp2) & pm, codes[c], stack_ref[:]
+                )
+                sp2 = sp2 + pm.astype(jnp.int32)
+            want_pop = was_int & jnp.logical_not(best_hit)
             if closest:
                 can_pop = want_pop & (sp2 > 0)
             else:
-                early = (
-                    _packet_reduce_min(occ, p_sub).reshape(K, 1) > 0.0
-                )
                 can_pop = want_pop & jnp.logical_not(early) & (sp2 > 0)
             spm = jnp.maximum(sp2 - 1, 0)
             popped = jnp.sum(
@@ -1028,7 +1060,9 @@ def _make_persistent_kernel(
                 keepdims=True,
             )
             nxt = jnp.where(
-                both, first, jnp.where(one, single, jnp.where(can_pop, popped, _DONE))
+                was_int & best_hit,
+                best_code,
+                jnp.where(can_pop, popped, _DONE),
             )
             nxt = jnp.where(was_int, nxt, cur)
             if not closest:
@@ -1187,13 +1221,13 @@ def _make_persistent_kernel(
     jax.jit,
     static_argnames=(
         "L", "depth", "n_packets", "n_tri", "tlas_lo", "p_sub", "kk", "lt",
-        "stream", "interpret",
+        "stream", "arity", "interpret",
     ),
 )
 def _closest_unified_call_persistent(
     nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax,
     *, L, depth, n_packets, n_tri, tlas_lo, p_sub, kk=None, lt=None,
-    stream=False, interpret=False,
+    stream=False, arity=2, interpret=False,
 ):
     kk = K if kk is None else kk
     lt = LEAF_THRESH if lt is None else lt
@@ -1207,7 +1241,7 @@ def _closest_unified_call_persistent(
         _make_persistent_kernel(
             closest=True, unified=True, L=L, depth=depth, p_sub=p_sub,
             n_packets=n_packets, kk=kk, leaf_thresh=lt, n_tri=n_tri,
-            tlas_lo=tlas_lo, stream_tables=stream,
+            tlas_lo=tlas_lo, stream_tables=stream, arity=arity,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM)
@@ -1230,7 +1264,7 @@ def _closest_unified_call_persistent(
             pltpu.VMEM(wshape, jnp.float32),  # bu
             pltpu.VMEM(wshape, jnp.float32),  # bv
             pltpu.VMEM((kk, P_LANE), jnp.float32),  # inst
-            pltpu.VMEM((kk, 128 if stream else 16), jnp.float32),
+            pltpu.VMEM((kk, 128 if stream else arity * 8), jnp.float32),
             pltpu.VMEM((kk, 128 if stream else 10 * L), jnp.float32),
             pltpu.VMEM((kk, depth), jnp.int32),  # stacks
             pltpu.VMEM((kk, 1), jnp.int32),  # cur
@@ -1252,13 +1286,13 @@ def _closest_unified_call_persistent(
     jax.jit,
     static_argnames=(
         "L", "depth", "n_packets", "n_tri", "tlas_lo", "p_sub", "kk", "lt",
-        "stream", "interpret",
+        "stream", "arity", "interpret",
     ),
 )
 def _any_unified_call_persistent(
     nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax,
     *, L, depth, n_packets, n_tri, tlas_lo, p_sub, kk=None, lt=None,
-    stream=False, interpret=False,
+    stream=False, arity=2, interpret=False,
 ):
     kk = K if kk is None else kk
     lt = LEAF_THRESH if lt is None else lt
@@ -1271,7 +1305,7 @@ def _any_unified_call_persistent(
         _make_persistent_kernel(
             closest=False, unified=True, L=L, depth=depth, p_sub=p_sub,
             n_packets=n_packets, kk=kk, leaf_thresh=lt, n_tri=n_tri,
-            tlas_lo=tlas_lo, stream_tables=stream,
+            tlas_lo=tlas_lo, stream_tables=stream, arity=arity,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM)
@@ -1285,7 +1319,7 @@ def _any_unified_call_persistent(
         scratch_shapes=[pltpu.VMEM(wshape, jnp.float32)] * 11
         + [
             pltpu.VMEM(wshape, jnp.float32),  # occ
-            pltpu.VMEM((kk, 128 if stream else 16), jnp.float32),
+            pltpu.VMEM((kk, 128 if stream else arity * 8), jnp.float32),
             pltpu.VMEM((kk, 128 if stream else 10 * L), jnp.float32),
             pltpu.VMEM((kk, depth), jnp.int32),  # stacks
             pltpu.VMEM((kk, 1), jnp.int32),  # cur
@@ -1304,10 +1338,14 @@ def _any_unified_call_persistent(
 
 
 def unified_persistent_eligible(ubvh, n_rays: int, p_sub: int = DEFAULT_P_SUB) -> bool:
-    """Gate for the unified persistent kernels: binary rows,
+    """Gate for the unified persistent kernels: binary or BVH4 rows,
     builder-certified stack bound, and tables + resident rays/outputs
     within the VMEM budget."""
-    if ubvh.arity != 2 or ubvh.stack_bound is None or ubvh.leaf_rows.shape[0] <= 1:
+    if (
+        ubvh.arity not in (2, 4)
+        or ubvh.stack_bound is None
+        or ubvh.leaf_rows.shape[0] <= 1
+    ):
         return False
     n_packets = max(1, -(-n_rays // (p_sub * P_LANE)))
     ray_bytes = 13 * n_packets * p_sub * P_LANE * 4
@@ -1345,7 +1383,7 @@ def traverse_closest_unified_persistent(
         L=ubvh.leaf_size, depth=depth, n_packets=n_packets,
         n_tri=int(ubvh.n_tri_leaves), tlas_lo=int(ubvh.tlas_lo),
         p_sub=p_sub, kk=k_slots, lt=leaf_thresh, stream=stream,
-        interpret=interpret,
+        arity=ubvh.arity, interpret=interpret,
     )
     t = _unpack_rays_pm(t, R)
     prim = _unpack_rays_pm(prim, R)
@@ -1388,7 +1426,7 @@ def traverse_any_unified_persistent(
         L=ubvh.leaf_size, depth=depth, n_packets=n_packets,
         n_tri=int(ubvh.n_tri_leaves), tlas_lo=int(ubvh.tlas_lo),
         p_sub=p_sub, kk=k_slots, lt=leaf_thresh, stream=stream,
-        interpret=interpret,
+        arity=ubvh.arity, interpret=interpret,
     )
     return _unpack_rays_pm(occ, R) & mask
 
@@ -1410,12 +1448,13 @@ def _unpack_rays_pm(y, R):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "L", "depth", "n_packets", "p_sub", "kk", "lt", "stream", "interpret"
+        "L", "depth", "n_packets", "p_sub", "kk", "lt", "stream", "arity",
+        "interpret",
     ),
 )
 def _closest_call_persistent(
     nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax,
-    *, L, depth, n_packets, p_sub, kk=None, lt=None, stream=False,
+    *, L, depth, n_packets, p_sub, kk=None, lt=None, stream=False, arity=2,
     interpret=False,
 ):
     kk = K if kk is None else kk
@@ -1429,7 +1468,7 @@ def _closest_call_persistent(
     return pl.pallas_call(
         _make_persistent_kernel(
             closest=True, unified=False, L=L, depth=depth, p_sub=p_sub,
-            n_packets=n_packets, kk=kk, leaf_thresh=lt, stream_tables=stream,
+            n_packets=n_packets, kk=kk, leaf_thresh=lt, stream_tables=stream, arity=arity,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM)
@@ -1449,7 +1488,7 @@ def _closest_call_persistent(
             pltpu.VMEM(wshape, jnp.int32),  # bp
             pltpu.VMEM(wshape, jnp.float32),  # bu
             pltpu.VMEM(wshape, jnp.float32),  # bv
-            pltpu.VMEM((kk, 128 if stream else 16), jnp.float32),
+            pltpu.VMEM((kk, 128 if stream else arity * 8), jnp.float32),
             pltpu.VMEM((kk, 128 if stream else 10 * L), jnp.float32),
             pltpu.VMEM((kk, depth), jnp.int32),  # stacks
             pltpu.VMEM((kk, 1), jnp.int32),  # cur
@@ -1468,12 +1507,13 @@ def _closest_call_persistent(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "L", "depth", "n_packets", "p_sub", "kk", "lt", "stream", "interpret"
+        "L", "depth", "n_packets", "p_sub", "kk", "lt", "stream", "arity",
+        "interpret",
     ),
 )
 def _any_call_persistent(
     nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax,
-    *, L, depth, n_packets, p_sub, kk=None, lt=None, stream=False,
+    *, L, depth, n_packets, p_sub, kk=None, lt=None, stream=False, arity=2,
     interpret=False,
 ):
     kk = K if kk is None else kk
@@ -1486,7 +1526,7 @@ def _any_call_persistent(
     return pl.pallas_call(
         _make_persistent_kernel(
             closest=False, unified=False, L=L, depth=depth, p_sub=p_sub,
-            n_packets=n_packets, kk=kk, leaf_thresh=lt, stream_tables=stream,
+            n_packets=n_packets, kk=kk, leaf_thresh=lt, stream_tables=stream, arity=arity,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM)
@@ -1500,7 +1540,7 @@ def _any_call_persistent(
         scratch_shapes=[pltpu.VMEM(wshape, jnp.float32)] * 11
         + [
             pltpu.VMEM(wshape, jnp.float32),  # occ
-            pltpu.VMEM((kk, 128 if stream else 16), jnp.float32),
+            pltpu.VMEM((kk, 128 if stream else arity * 8), jnp.float32),
             pltpu.VMEM((kk, 128 if stream else 10 * L), jnp.float32),
             pltpu.VMEM((kk, depth), jnp.int32),  # stacks
             pltpu.VMEM((kk, 1), jnp.int32),  # cur
@@ -1540,7 +1580,8 @@ def traverse_closest_persistent(
     t, prim, u, v, iters = _closest_call_persistent(
         pbvh.nodes, pbvh.leaf_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
         L=pbvh.leaf_size, depth=depth, n_packets=n_packets, p_sub=p_sub,
-        kk=k_slots, lt=leaf_thresh, stream=stream, interpret=interpret,
+        kk=k_slots, lt=leaf_thresh, stream=stream, arity=pbvh.arity,
+        interpret=interpret,
     )
     if return_iters:
         return iters[0, 0]
@@ -1581,7 +1622,8 @@ def traverse_any_persistent(
     occ, iters = _any_call_persistent(
         pbvh.nodes, pbvh.leaf_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
         L=pbvh.leaf_size, depth=depth, n_packets=n_packets, p_sub=p_sub,
-        kk=k_slots, lt=leaf_thresh, stream=stream, interpret=interpret,
+        kk=k_slots, lt=leaf_thresh, stream=stream, arity=pbvh.arity,
+        interpret=interpret,
     )
     if return_iters:
         return iters[0, 0]
@@ -1600,7 +1642,7 @@ def persistent_stream_eligible(pbvh, n_rays: int, p_sub: int = DEFAULT_P_SUB) ->
     exceeded — Rungholt-class scenes run HERE instead of dropping to the
     ~100x-slower XLA gather path (the reference's traversal is HBM-native
     at any scale, rtcIntersectV / render_embree.ispc:245)."""
-    if pbvh.arity != 2 or pbvh.num_leaves <= 1:
+    if pbvh.arity not in (2, 4) or pbvh.num_leaves <= 1:
         return False
     bound = getattr(pbvh, "stack_bound", None)
     if bound is None:
@@ -1614,9 +1656,11 @@ def persistent_stream_eligible(pbvh, n_rays: int, p_sub: int = DEFAULT_P_SUB) ->
 
 
 def packet_eligible(pbvh: PackedBvh) -> bool:
-    """True when the packet kernel can traverse this BVH: binary layout,
-    builder-certified stack depth, >1 leaf, and tables that fit VMEM."""
-    if pbvh.arity != 2 or pbvh.max_depth is None or pbvh.num_leaves <= 1:
+    """True when the packet kernels can traverse this BVH: binary or BVH4
+    layout, builder-certified stack depth, >1 leaf, tables that fit VMEM.
+    (The grid kernels remain binary-only; the caller routes BVH4 through
+    the persistent kernels.)"""
+    if pbvh.arity not in (2, 4) or pbvh.max_depth is None or pbvh.num_leaves <= 1:
         return False
     table_bytes = (pbvh.nodes.size + pbvh.leaf_rows.size) * 4
     return table_bytes <= VMEM_TABLE_BUDGET

@@ -140,8 +140,31 @@ def _extend(v: int, n: int) -> int:
     return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
 
 
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next real marker at/after pos (skips entropy-coded
+    data, 0xFF00 stuffing, and RST markers)."""
+    n = len(data)
+    while pos < n - 1:
+        if data[pos] == 0xFF:
+            m = data[pos + 1]
+            if m != 0x00 and m != 0xFF and not (0xD0 <= m <= 0xD7):
+                return pos
+            pos += 2
+        else:
+            pos += 1
+    return n
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG byte string to (H, W, C) uint8 (C = 1 or 3)."""
+    """Decode a baseline-sequential (SOF0/1) or progressive (SOF2) JPEG
+    byte string to (H, W, C) uint8 (C = 1 or 3).
+
+    Progressive support (the reference decodes both via stb,
+    util/stb_image.h): every scan — DC first/refine with successive
+    approximation, AC first/refine with spectral selection and EOB runs —
+    accumulates into per-component dense coefficient planes; dequant +
+    batched IDCT + chroma upsampling run once at EOI over the final
+    coefficients (ITU T.81 Annex G)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -149,7 +172,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     dc_tables = {}
     ac_tables = {}
     frame = None
+    planes = None
     restart_interval = 0
+    progressive = False
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -175,7 +200,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     tbl = np.frombuffer(seg, np.uint8, 64, s).astype(np.int32)
                     s += 64
                 qt[tq] = tbl
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -184,10 +210,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            frame["hmax"], frame["vmax"] = hmax, vmax
+            frame["mcux"] = -(-w // (8 * hmax))
+            frame["mcuy"] = -(-h // (8 * vmax))
+            planes = [
+                np.zeros((frame["mcuy"] * c["v"] * frame["mcux"] * c["h"], 64), np.int32)
+                for c in comps
+            ]
+            for ci, c in enumerate(comps):
+                c["index"] = ci
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"unsupported JPEG type (marker 0xFF{marker:02X}; only baseline "
-                "sequential SOF0/SOF1 is implemented)"
+                f"unsupported JPEG type (marker 0xFF{marker:02X}; baseline "
+                "sequential SOF0/SOF1 and progressive SOF2 are implemented)"
             )
         elif marker == 0xC4:  # DHT
             s = 0
@@ -209,68 +246,193 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
-                scan.append((comp, dc_tables[tt >> 4], ac_tables[tt & 0xF]))
-            return _decode_scan(
-                data, pos + seg_len, frame, scan, qt, restart_interval
+                scan.append(
+                    (comp, dc_tables.get(tt >> 4), ac_tables.get(tt & 0xF))
+                )
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            scan_start = pos + seg_len
+            _decode_scan_into(
+                data, scan_start, frame, scan, planes,
+                ss, se, ah, al, restart_interval,
             )
+            pos = _next_marker(data, scan_start)
+            continue
         pos += seg_len
-    raise ValueError("no SOS segment found")
+
+    if planes is None:
+        raise ValueError("no SOS segment found")
+    return _assemble(frame, planes, qt)
 
 
-def _decode_scan(data, pos, frame, scan, qt, restart_interval):
-    w, h = frame["w"], frame["h"]
-    hmax = max(c["h"] for c, _, _ in scan)
-    vmax = max(c["v"] for c, _, _ in scan)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
-    # per-component dense coefficient planes, in 8x8 block units
-    planes = []
-    for comp, _, _ in scan:
-        bw = mcux * comp["h"]
-        bh = mcuy * comp["v"]
-        planes.append(np.zeros((bh * bw, 64), np.int32))
-
+def _decode_scan_into(
+    data, pos, frame, scan, planes, ss, se, ah, al, restart_interval
+):
+    """Decode one entropy-coded scan into the coefficient planes. Handles
+    sequential full-band scans, progressive DC first/refine (interleaved
+    or not), and progressive AC first/refine (always single-component)."""
     br = _BitReader(data, pos)
-    pred = [0] * len(scan)
     zz = ZIGZAG
+    mcux = frame["mcux"]
+    dc_scan = ss == 0
+    ac_scan = not dc_scan
+    full_scan = ss == 0 and se == 63 and ah == 0
+
+    if ac_scan and len(scan) != 1:
+        raise ValueError("progressive AC scan must have a single component")
+
+    if len(scan) == 1 and not full_scan:
+        # non-interleaved: iterate the component's own block raster
+        comp, dct, act = scan[0]
+        ci = comp["index"]
+        cw = -(-frame["w"] * comp["h"] // (8 * frame["hmax"]))
+        chh = -(-frame["h"] * comp["v"] // (8 * frame["vmax"]))
+        n_blocks = cw * chh
+        pred = 0
+        eobrun = 0
+        for b in range(n_blocks):
+            if restart_interval and b and b % restart_interval == 0:
+                br.restart()
+                pred = 0
+                eobrun = 0
+            by, bx = divmod(b, cw)
+            coeffs = planes[ci][by * (mcux * comp["h"]) + bx]
+            if dc_scan:
+                if ah == 0:
+                    ssss = br.huff(dct)
+                    pred += _extend(br.get(ssss), ssss)
+                    coeffs[0] = pred << al
+                else:
+                    if br.get(1):
+                        coeffs[0] |= 1 << al
+            elif ah == 0:
+                eobrun = _ac_first(br, act, coeffs, zz, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(br, act, coeffs, zz, ss, se, al, eobrun)
+        return
+
+    # interleaved MCU order (sequential full scans and interleaved DC scans)
+    mcuy = frame["mcuy"]
     n_mcu = mcux * mcuy
+    pred = [0] * len(scan)
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
             br.restart()
             pred = [0] * len(scan)
         my, mx = divmod(m, mcux)
-        for ci, (comp, dct, act) in enumerate(scan):
+        for si, (comp, dct, act) in enumerate(scan):
             ch, cv = comp["h"], comp["v"]
+            ci = comp["index"]
             for b in range(ch * cv):
                 by, bx = divmod(b, ch)
-                blk = planes[ci]
                 row = (my * cv + by) * (mcux * ch) + (mx * ch + bx)
-                coeffs = blk[row]
-                # DC
-                ssss = br.huff(dct)
-                diff = _extend(br.get(ssss), ssss)
-                pred[ci] += diff
-                coeffs[0] = pred[ci]
-                # AC
-                k = 1
-                while k < 64:
-                    rs = br.huff(act)
-                    r, s = rs >> 4, rs & 0xF
-                    if s == 0:
-                        if r == 15:
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC coefficient index overflow")
-                    coeffs[zz[k]] = _extend(br.get(s), s)
-                    k += 1
+                coeffs = planes[ci][row]
+                if full_scan:
+                    # DC
+                    ssss = br.huff(dct)
+                    pred[si] += _extend(br.get(ssss), ssss)
+                    coeffs[0] = pred[si]
+                    # AC
+                    k = 1
+                    while k < 64:
+                        rs = br.huff(act)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC coefficient index overflow")
+                        coeffs[zz[k]] = _extend(br.get(s), s)
+                        k += 1
+                elif ah == 0:  # progressive DC first
+                    ssss = br.huff(dct)
+                    pred[si] += _extend(br.get(ssss), ssss)
+                    coeffs[0] = pred[si] << al
+                else:  # progressive DC refine
+                    if br.get(1):
+                        coeffs[0] |= 1 << al
 
-    # batched dequant + IDCT per component, then assemble + upsample
-    out = np.empty((h, w, len(scan)), np.uint8)
-    for ci, (comp, _, _) in enumerate(scan):
+
+def _ac_first(br, act, coeffs, zz, ss, se, al, eobrun):
+    """Progressive AC initial scan for one block (T.81 G.1.2.2)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.huff(act)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.get(r)
+                break
+            k += 16
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC coefficient index overflow in progressive scan")
+        coeffs[zz[k]] = _extend(br.get(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(br, act, coeffs, zz, ss, se, al, eobrun):
+    """Progressive AC refinement scan for one block (T.81 G.1.2.3): emit
+    correction bits for already-nonzero coefficients, insert newly
+    significant ones."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.huff(act)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.get(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                val = p1 if br.get(1) else m1
+            while k <= se:
+                c = zz[k]
+                if coeffs[c] != 0:
+                    if br.get(1) and (coeffs[c] & p1) == 0:
+                        coeffs[c] += p1 if coeffs[c] >= 0 else m1
+                else:
+                    if r == 0:
+                        if val:
+                            coeffs[c] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = zz[k]
+            if coeffs[c] != 0:
+                if br.get(1) and (coeffs[c] & p1) == 0:
+                    coeffs[c] += p1 if coeffs[c] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _assemble(frame, planes, qt):
+    """Dequant + batched IDCT per component, assemble + upsample, color
+    convert."""
+    w, h = frame["w"], frame["h"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    mcux, mcuy = frame["mcux"], frame["mcuy"]
+    comps = frame["comps"]
+    out = np.empty((h, w, len(comps)), np.uint8)
+    for ci, comp in enumerate(comps):
         ch, cv = comp["h"], comp["v"]
         bw = mcux * ch
         bh = mcuy * cv
@@ -284,10 +446,10 @@ def _decode_scan(data, pos, frame, scan, qt, restart_interval):
             plane = np.repeat(np.repeat(plane, vmax // cv, 0), hmax // ch, 1)
         out[:, :, ci] = np.clip(plane[:h, :w], 0, 255).astype(np.uint8)
 
-    if len(scan) == 1:
+    if len(comps) == 1:
         return out
-    if len(scan) != 3:
-        raise ValueError(f"unsupported JPEG component count {len(scan)}")
+    if len(comps) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(comps)}")
     # YCbCr -> RGB (ITU BT.601, matching stb)
     y = out[:, :, 0].astype(np.float32)
     cb = out[:, :, 1].astype(np.float32) - 128.0

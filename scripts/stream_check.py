@@ -69,28 +69,30 @@ def main() -> int:
     # path is ~100x slower at this scale; a prefix keeps it under the
     # ~60 s execution wall)
     Rs = 4096
+    stride = max(1, R // Rs)
+    sel = slice(None, stride * Rs, stride)  # spans the whole sorted wavefront
     from chameleonrt_tpu.ops.traverse import traverse_closest_blocked
 
     t0 = time.perf_counter()
     tx, px_, _, _ = jax.block_until_ready(
         jax.jit(traverse_closest_blocked)(
-            pbvh, orig[:Rs], dirs[:Rs], t_min[:Rs], active[:Rs]
+            pbvh, orig[sel], dirs[sel], t_min[sel], active[sel]
         )
     )
-    print(f"xla 16K rays: {time.perf_counter()-t0:.1f}s", flush=True)
+    print(f"xla {Rs} rays: {time.perf_counter()-t0:.1f}s", flush=True)
     t0 = time.perf_counter()
     ts, ps, _, _ = jax.block_until_ready(
         tp.traverse_closest_persistent(
-            pbvh, orig[:Rs], dirs[:Rs], t_min[:Rs], active[:Rs], stream=True
+            pbvh, orig[sel], dirs[sel], t_min[sel], active[sel], stream=True
         )
     )
-    print(f"stream 16K rays (incl compile): {time.perf_counter()-t0:.1f}s", flush=True)
+    print(f"stream {Rs} rays (incl compile): {time.perf_counter()-t0:.1f}s", flush=True)
     px_, ps, tx, ts = map(np.asarray, (px_, ps, tx, ts))
     match = (px_ == ps).mean()
     both = (px_ >= 0) & (ps >= 0)
     dt = np.abs(tx[both] - ts[both]).max() if both.any() else 0.0
     print(
-        f"closest 16K: prim match {match*100:.4f}% max|dt|={dt:.2e} "
+        f"closest sampled: prim match {match*100:.4f}% max|dt|={dt:.2e} "
         f"hits xla={int((px_>=0).sum())} stream={int((ps>=0).sum())}",
         flush=True,
     )

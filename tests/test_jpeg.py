@@ -283,12 +283,14 @@ def test_flat_color_and_gradients():
     assert np.abs(out.astype(int) - 200).max() <= 6
 
 
-def test_progressive_rejected_loudly():
+def test_lossless_sof_rejected_loudly():
+    """Unsupported frame types (e.g. SOF3 lossless) must fail with a clear
+    error, not garbage output."""
     img = _test_image(16, 16)
     data = bytearray(encode_jpeg(img))
     idx = data.find(b"\xff\xc0")
-    data[idx + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="baseline"):
+    data[idx + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless)
+    with pytest.raises(ValueError, match="unsupported JPEG type"):
         decode_jpeg(bytes(data))
 
 
@@ -305,3 +307,72 @@ def test_image_io_dispatch(tmp_path):
     p2.write_bytes(b"\xff\xd8garbage")
     ph = read_image_or_placeholder(str(p2), warn=False)
     assert ph.shape == (4, 4, 3)
+
+
+def _pil_roundtrip_case(img, **save_kw):
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    PIL.fromarray(img).save(buf, "JPEG", **save_kw)
+    data = buf.getvalue()
+    mine = decode_jpeg(data)
+    ref = np.asarray(PIL.open(io.BytesIO(data)).convert("RGB"))
+    return mine, ref, data
+
+
+def _test_img():
+    yy, xx = np.mgrid[0:80, 0:112].astype(np.float32)
+    img = np.stack(
+        [128 + 100 * np.sin(xx * 0.1), 128 + 100 * np.cos(yy * 0.13), (xx + yy) % 256],
+        -1,
+    )
+    img[20:50, 30:80] = [220, 40, 40]
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_progressive_jpeg_matches_libjpeg():
+    """Progressive (SOF2) decoding — DC/AC first+refine scans with
+    successive approximation and EOB runs (ITU T.81 Annex G; the
+    reference's stb decodes progressive too, util/stb_image.h). Compared
+    against libjpeg via PIL at 4:4:4 where upsampling cannot differ."""
+    mine, ref, data = _pil_roundtrip_case(
+        _test_img(), quality=85, progressive=True, subsampling=0
+    )
+    assert data[2:4] != b"\xff\xc0"  # actually progressive
+    assert b"\xff\xc2" in data[:200]
+    diff = np.abs(mine.astype(int) - ref.astype(int))
+    assert diff.max() <= 4, diff.max()
+
+
+def test_progressive_jpeg_420_matches_own_baseline():
+    """Progressive and baseline encodings of the same image must decode to
+    nearly identical pixels through OUR decoder (coefficients are
+    identical; only encoder scan structure differs) — covers 4:2:0
+    progressive without depending on PIL's different chroma upsampling."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    img = _test_img()
+    outs = []
+    for prog in (False, True):
+        buf = io.BytesIO()
+        PIL.fromarray(img).save(
+            buf, "JPEG", quality=85, progressive=prog, subsampling=2
+        )
+        outs.append(decode_jpeg(buf.getvalue()).astype(int))
+    diff = np.abs(outs[0] - outs[1])
+    assert diff.max() <= 1, diff.max()
+
+
+def test_progressive_grayscale():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    img = _test_img()[:, :, 0]
+    buf = io.BytesIO()
+    PIL.fromarray(img).save(buf, "JPEG", quality=90, progressive=True)
+    mine = decode_jpeg(buf.getvalue())
+    ref = np.asarray(PIL.open(buf))
+    assert mine.shape == img.shape + (1,)
+    assert np.abs(mine[:, :, 0].astype(int) - ref.astype(int)).max() <= 2

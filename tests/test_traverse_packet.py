@@ -126,3 +126,66 @@ def test_packet_eligibility_gates():
     assert not tp.packet_eligible(
         PackedBvh(jnp.zeros((1, 16)), jnp.zeros((1, 40)), max_depth=1)
     )
+
+
+@pytest.fixture(scope="module")
+def bvh4_and_rays(scene_and_rays):
+    """The BVH4 slot of the same scene (native builder emits both layouts
+    from one SAH tree; leaf rows are shared)."""
+    rng = np.random.default_rng(0)
+    n_tri = 3000
+    centers = rng.uniform(-10, 10, (n_tri, 3)).astype(np.float32)
+    v0 = centers + rng.uniform(-0.3, 0.3, (n_tri, 3)).astype(np.float32)
+    e1 = rng.uniform(-0.6, 0.6, (n_tri, 3)).astype(np.float32)
+    e2 = rng.uniform(-0.6, 0.6, (n_tri, 3)).astype(np.float32)
+    _, nodes4, leaf_rows, _, stack4 = native.build_bvh_pair_native(v0, e1, e2, 4)
+    p4 = PackedBvh(jnp.asarray(nodes4), jnp.asarray(leaf_rows), max_depth=stack4)
+    assert p4.arity == 4
+    _, orig, d, active = scene_and_rays
+    return p4, orig, d, active
+
+
+def test_persistent_closest_bvh4_matches_xla(scene_and_rays, bvh4_and_rays):
+    """Arity-4 persistent closest traversal must agree with the binary XLA
+    oracle (same SAH tree collapsed; multi-push stacking + nearest-entry
+    child selection are the BVH4-specific code paths)."""
+    pbvh2, orig, d, active = scene_and_rays
+    p4 = bvh4_and_rays[0]
+    t_min = jnp.full(orig.shape[:1], 1e-4, jnp.float32)
+    t0, p0, _, _ = traverse_closest_blocked(pbvh2, orig, d, t_min, active)
+    t1, p1, _, _ = tp.traverse_closest_persistent(
+        p4, orig, d, t_min, active, interpret=True
+    )
+    assert np.array_equal(np.asarray(p0), np.asarray(p1))
+    assert np.array_equal(np.asarray(t0), np.asarray(t1))
+    assert int(np.asarray(p1 >= 0).sum()) > 0
+
+
+def test_persistent_any_bvh4_matches_xla(scene_and_rays, bvh4_and_rays):
+    pbvh2, orig, d, active = scene_and_rays
+    p4 = bvh4_and_rays[0]
+    t_min = jnp.full(orig.shape[:1], 1e-4, jnp.float32)
+    t0, _, _, _ = traverse_closest_blocked(pbvh2, orig, d, t_min, active)
+    tmax = jnp.where(t0 < 1e19, t0 * 1.001, 30.0)
+    o0 = traverse_any_blocked(p4, orig, d, t_min, tmax, active)
+    o1 = tp.traverse_any_persistent(
+        p4, orig, d, t_min, tmax, active, interpret=True
+    )
+    assert np.array_equal(np.asarray(o0), np.asarray(o1))
+    assert int(np.asarray(o1).sum()) > 0
+
+
+def test_persistent_stream_matches_vmem(scene_and_rays):
+    """The DMA-streamed table variant must agree bit-exactly with the
+    VMEM-table variant (same kernel, tables fetched from HBM with padded
+    128-wide rows)."""
+    pbvh, orig, d, active = scene_and_rays
+    t_min = jnp.full(orig.shape[:1], 1e-4, jnp.float32)
+    t0, p0, _, _ = tp.traverse_closest_persistent(
+        pbvh, orig, d, t_min, active, interpret=True
+    )
+    t1, p1, _, _ = tp.traverse_closest_persistent(
+        pbvh, orig, d, t_min, active, interpret=True, stream=True
+    )
+    assert np.array_equal(np.asarray(p0), np.asarray(p1))
+    assert np.array_equal(np.asarray(t0), np.asarray(t1))
