@@ -151,10 +151,13 @@ class JaxRenderBackend(RenderBackend):
                 meta, trace_closest, trace_any, self._mesh, W, H, spp
             )
         chunks = self._render_chunks()
+        # Distinct per-backend program names so profiles and compile-cache
+        # entries stay attributable when two backends jit their render
+        # step in one process.
+        tag = type(self).__name__
 
         if chunks == 1:
 
-            @partial(jax.jit, static_argnames=(), donate_argnums=(2,))
             def render_step(flat: FlatScene, view: camera_ops.ViewParams, accum, frame_id):
                 ys, xs = jnp.mgrid[0:H, 0:W]
                 px = xs.reshape(-1).astype(jnp.uint32)
@@ -167,13 +170,13 @@ class JaxRenderBackend(RenderBackend):
                 accum = path_tracer.progressive_accum(accum, illum, frame_id)
                 return accum, rays
 
-            return render_step
+            render_step.__name__ = render_step.__qualname__ = f"render_step_{tag}"
+            return jax.jit(render_step, donate_argnums=(2,))
 
         # Row-chunked frame: each chunk renders Hc rows in its own device
         # execution (one compile — every chunk shares the shape; H pads up).
         Hc = -(-H // chunks)
 
-        @partial(jax.jit, static_argnames=())
         def chunk_step(flat: FlatScene, view: camera_ops.ViewParams, frame_id, y0):
             ys, xs = jnp.mgrid[0:Hc, 0:W]
             px = xs.reshape(-1).astype(jnp.uint32)
@@ -186,9 +189,14 @@ class JaxRenderBackend(RenderBackend):
             )
             return illum.reshape(Hc, W, 3), rays
 
-        @partial(jax.jit, static_argnames=(), donate_argnums=(0,))
+        chunk_step.__name__ = chunk_step.__qualname__ = f"chunk_step_{tag}"
+        chunk_step = jax.jit(chunk_step)
+
         def accum_step(accum, illum, frame_id):
             return path_tracer.progressive_accum(accum, illum, frame_id)
+
+        accum_step.__name__ = accum_step.__qualname__ = f"accum_step_{tag}"
+        accum_step = jax.jit(accum_step, donate_argnums=(0,))
 
         def render_step(flat, view, accum, frame_id):
             parts = []

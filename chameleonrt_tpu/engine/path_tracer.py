@@ -328,6 +328,30 @@ def _sort_wavefront(state, orig, dir, throughput, illum, active, lane_pixel):
     )
 
 
+def _compact_trace_any(trace_any, flat, orig, dir, t_max, mask):
+    """Occlusion traversal with the masked rays compacted to the front.
+    jnp.argsort on ~mask is STABLE, so active rays keep their relative
+    (already Morton-sorted) order; the occlusion bits scatter back through
+    the same permutation — results are bit-identical to the uncompacted
+    call. One (R,8) packed row gather applies the permutation (narrow
+    per-field gathers are slow on TPU, see _sort_wavefront)."""
+    R = orig.shape[0]
+    order = jnp.argsort(jnp.logical_not(mask))
+    packed = jnp.concatenate(
+        [
+            orig,
+            dir,
+            jnp.broadcast_to(t_max, (R,))[..., None],
+            mask[..., None].astype(jnp.float32),
+        ],
+        axis=1,
+    )[order]
+    occ_s = trace_any(
+        flat, packed[:, 0:3], packed[:, 3:6], packed[:, 6], packed[:, 7] != 0.0
+    )
+    return jnp.zeros((R,), bool).at[order].set(occ_s, unique_indices=True)
+
+
 def trace_path(
     flat: FlatScene,
     meta: SceneMeta,
@@ -378,9 +402,17 @@ def trace_path(
         # sort (origins in Morton order, directions converging on the
         # light) so its packets are coherent; stacking the sparse,
         # direction-incoherent bsdf-branch rays into the same call (the
-        # round-1 fused-2R form) would destroy that coherence.
+        # round-1 fused-2R form) would destroy that coherence. The
+        # bsdf-branch mask is SPARSE within the active prefix (only lanes
+        # whose sample hit the light quad), so its rays compact
+        # actives-first before the call — a stable permutation (relative
+        # Morton order preserved, result scattered back, bit-exact) that
+        # turns most of that launch's packets into instantly-retiring
+        # all-dead ones.
         occluded1 = trace_any(flat, hit_p, sh.light_dir, sh.light_dist, sh.shoot1)
-        occluded2 = trace_any(flat, hit_p, sh.w_i2, sh.t_light, sh.shoot2)
+        occluded2 = _compact_trace_any(
+            trace_any, flat, hit_p, sh.w_i2, sh.t_light, sh.shoot2
+        )
         rays = (
             rays
             + sh.shoot1.astype(jnp.int32).sum()
