@@ -63,7 +63,7 @@ def _parity_wavefront(scene, W, H):
     ys, xs = np.mgrid[0:H, 0:W]
     px = jnp.asarray(xs.reshape(-1).astype(np.uint32))
     py = jnp.asarray(ys.reshape(-1).astype(np.uint32))
-    state = rng_ops.get_rng((px + py * W).astype(jnp.uint32), jnp.uint32(1))
+    state = rng_ops.get_rng((px + py * W).astype(jnp.uint32), np.uint32(1))
     _, orig, dirs = camera_ops.generate_primary_rays(
         view, px, py, float(W), float(H), state
     )
@@ -83,7 +83,7 @@ def run_parity():
     import jax.numpy as jnp
 
     from chameleonrt_tpu.engine.device_scene import build_device_scene
-    from chameleonrt_tpu.engine.trace_bvh import build_blas_set
+    from chameleonrt_tpu.engine.trace_bvh import _closest_table, build_blas_set
     from chameleonrt_tpu.ops.lbvh import UnifiedPair
     from chameleonrt_tpu.ops.traverse import (
         traverse_any_blocked,
@@ -113,7 +113,7 @@ def run_parity():
         t_min = jnp.zeros((R,), jnp.float32)
         unified = isinstance(flat.blas[0], UnifiedPair)
         if unified:
-            ub = flat.blas[0].closest
+            ub = _closest_table(flat.blas[0])
             t0, p0, i0, _, _ = traverse_closest_unified_blocked(
                 ub, orig, dirs, t_min, active
             )
@@ -121,7 +121,7 @@ def run_parity():
                 ub, orig, dirs, t_min, active
             )
         else:
-            pb = flat.blas[0].closest
+            pb = _closest_table(flat.blas[0])
             t0, p0, _, _ = traverse_closest_blocked(pb, orig, dirs, t_min, active)
             t1, p1, _, _ = tp.traverse_closest_persistent(
                 pb, orig, dirs, t_min, active

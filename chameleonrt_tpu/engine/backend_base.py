@@ -203,7 +203,7 @@ class JaxRenderBackend(RenderBackend):
             rays = jnp.int32(0)
             for c in range(chunks):
                 illum_c, rays_c = chunk_step(
-                    flat, view, frame_id, jnp.uint32(c * Hc)
+                    flat, view, frame_id, np.uint32(c * Hc)
                 )
                 # block per chunk: keeps each device execution separate
                 # (the whole point — one long execution trips the wall)
@@ -243,8 +243,10 @@ class JaxRenderBackend(RenderBackend):
             pos, dir, up, fov_y, self.fb_width, self.fb_height
         )
         t0 = time.perf_counter()
+        # np scalar arg, not jnp: device-scalar captures/args trip the axon
+        # tunnel's degraded ~26 ms/execution mode (scripts/capture_probe2.py)
         self._accum, rays = self._render_jit(
-            self.flat, view, self._accum, jnp.uint32(self.frame_id)
+            self.flat, view, self._accum, np.uint32(self.frame_id)
         )
         rays = int(jax.block_until_ready(rays)) if self.report_ray_stats else 0
         jax.block_until_ready(self._accum)

@@ -213,6 +213,12 @@ def _shade_bounce(
 
 
 def _shade_block_rows() -> int:
+    """Lane-block size for the dead-skip shading stage; 0 = whole-wavefront
+    (no blocking). Re-verified clean-process in round 3 (same-process A/B,
+    textured hall): blocked 65536 = 1140 ms/frame vs unblocked 1274 ms —
+    the sequential lax.map keeps the shading working set small enough that
+    the surrounding frame schedules better, even though a standalone
+    whole-wavefront shade is only 0.2 ms. Keep 65536."""
     import os
 
     try:
@@ -234,7 +240,7 @@ def _shade_bounce_blocked(
     measured ~f_active of full-shading cost instead of 1.0."""
     R = orig.shape[0]
     B = _shade_block_rows()
-    if R <= B:
+    if B <= 0 or R <= B:
         return _shade_bounce(
             flat, meta, bounce, state, orig, dir, throughput, active,
             hit_p, hit.tri, hit.inst, hit.u, hit.v,
@@ -328,30 +334,6 @@ def _sort_wavefront(state, orig, dir, throughput, illum, active, lane_pixel):
     )
 
 
-def _compact_trace_any(trace_any, flat, orig, dir, t_max, mask):
-    """Occlusion traversal with the masked rays compacted to the front.
-    jnp.argsort on ~mask is STABLE, so active rays keep their relative
-    (already Morton-sorted) order; the occlusion bits scatter back through
-    the same permutation — results are bit-identical to the uncompacted
-    call. One (R,8) packed row gather applies the permutation (narrow
-    per-field gathers are slow on TPU, see _sort_wavefront)."""
-    R = orig.shape[0]
-    order = jnp.argsort(jnp.logical_not(mask))
-    packed = jnp.concatenate(
-        [
-            orig,
-            dir,
-            jnp.broadcast_to(t_max, (R,))[..., None],
-            mask[..., None].astype(jnp.float32),
-        ],
-        axis=1,
-    )[order]
-    occ_s = trace_any(
-        flat, packed[:, 0:3], packed[:, 3:6], packed[:, 6], packed[:, 7] != 0.0
-    )
-    return jnp.zeros((R,), bool).at[order].set(occ_s, unique_indices=True)
-
-
 def trace_path(
     flat: FlatScene,
     meta: SceneMeta,
@@ -402,17 +384,14 @@ def trace_path(
         # sort (origins in Morton order, directions converging on the
         # light) so its packets are coherent; stacking the sparse,
         # direction-incoherent bsdf-branch rays into the same call (the
-        # round-1 fused-2R form) would destroy that coherence. The
-        # bsdf-branch mask is SPARSE within the active prefix (only lanes
-        # whose sample hit the light quad), so its rays compact
-        # actives-first before the call — a stable permutation (relative
-        # Morton order preserved, result scattered back, bit-exact) that
-        # turns most of that launch's packets into instantly-retiring
-        # all-dead ones.
+        # round-1 fused-2R form) would destroy that coherence. Compacting
+        # the sparse bsdf-branch mask to the front before its call was
+        # measured a net LOSS (+34 ms/frame on the textured hall): the
+        # persistent work-queue kernels already retire all-dead packets in
+        # ~1 iteration, so the stable-argsort + row gather + scatter cost
+        # more than the dead packets they removed.
         occluded1 = trace_any(flat, hit_p, sh.light_dir, sh.light_dist, sh.shoot1)
-        occluded2 = _compact_trace_any(
-            trace_any, flat, hit_p, sh.w_i2, sh.t_light, sh.shoot2
-        )
+        occluded2 = trace_any(flat, hit_p, sh.w_i2, sh.t_light, sh.shoot2)
         rays = (
             rays
             + sh.shoot1.astype(jnp.int32).sum()

@@ -84,15 +84,17 @@ def _unified_persistent_enabled() -> bool:
 
 
 def _closest_table(pair):
-    """Node table for closest-hit persistent traversal: binary by default
-    (ordered near-first descent measured best there in round 2); env
-    CHAMELEONRT_CLOSEST_ARITY=4 routes closest through the BVH4 table for
-    A/B (the any slot shares the same leaf rows)."""
+    """Node table for closest-hit traversal: BVH4 by default (round 3 A/B
+    on the textured hall: 1138 vs 1326 ms/frame — 4 children per row halve
+    the node iterations for the same gathered bytes; 0.011% of pixels flip
+    coincident-surface ties vs the binary descent order, the same class
+    the cross-backend tolerance covers). Env CHAMELEONRT_CLOSEST_ARITY=2
+    restores the binary table (the any slot shares the same leaf rows)."""
     import os
 
-    if os.environ.get("CHAMELEONRT_CLOSEST_ARITY") == "4":
-        return pair.any
-    return pair.closest
+    if os.environ.get("CHAMELEONRT_CLOSEST_ARITY") == "2":
+        return pair.closest
+    return pair.any
 
 
 def _bucket_size(n: int) -> int:

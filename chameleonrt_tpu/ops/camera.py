@@ -38,11 +38,15 @@ def compute_view_params(pos, dir, up, fov_y_deg, fb_width, fb_height) -> ViewPar
     dv = np.cross(du, dir)
     dv = -dv / np.linalg.norm(dv) * img_y
     top_left = dir - 0.5 * du - 0.5 * dv
+    # np leaves, not eager device arrays: tiny eagerly-created device
+    # buffers fed to jitted programs risk the axon tunnel's degraded
+    # ~26 ms/execution mode (scripts/capture_probe2.py); np arrays upload
+    # at call time like any other argument.
     return ViewParams(
-        pos=jnp.asarray(pos),
-        dir_du=jnp.asarray(du.astype(np.float32)),
-        dir_dv=jnp.asarray(dv.astype(np.float32)),
-        dir_top_left=jnp.asarray(top_left.astype(np.float32)),
+        pos=pos,
+        dir_du=du.astype(np.float32),
+        dir_dv=dv.astype(np.float32),
+        dir_top_left=top_left.astype(np.float32),
     )
 
 

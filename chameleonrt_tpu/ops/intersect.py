@@ -17,10 +17,16 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from chameleonrt_tpu.ops.math import cross, dot
 
-T_MAX = jnp.float32(1e20)
+# np scalar, NOT jnp: a jitted program that captures an eagerly-created
+# device scalar executes ~1000x slower through the axon tunnel AND
+# permanently degrades every later execution in the process to a ~26 ms
+# floor (measured, scripts/capture_probe2.py). np scalars trace to
+# literals and are immune.
+T_MAX = np.float32(1e20)
 _MT_EPS = 1e-9
 
 

@@ -9,19 +9,24 @@ State is a batched uint32 array threaded functionally through the wavefront.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-_C1 = jnp.uint32(0xCC9E2D51)
-_C2 = jnp.uint32(0x1B873593)
-_M = jnp.uint32(5)
-_N = jnp.uint32(0xE6546B64)
+# np scalars, NOT jnp: a jitted program that captures an eagerly-created
+# device scalar runs ~1000x slower through the axon tunnel and degrades
+# every later execution in the process (scripts/capture_probe2.py). These
+# constants are captured by every RNG draw in the render graph.
+_C1 = np.uint32(0xCC9E2D51)
+_C2 = np.uint32(0x1B873593)
+_M = np.uint32(5)
+_N = np.uint32(0xE6546B64)
 
-_LCG_MUL = jnp.uint32(1664525)
-_LCG_ADD = jnp.uint32(1013904223)
+_LCG_MUL = np.uint32(1664525)
+_LCG_ADD = np.uint32(1013904223)
 
 
 def _rotl(x, r):
-    r = jnp.uint32(r)
-    return (x << r) | (x >> (jnp.uint32(32) - r))
+    r = np.uint32(r)
+    return (x << r) | (x >> (np.uint32(32) - r))
 
 
 def murmur_hash3_mix(hash_, k):
@@ -36,11 +41,11 @@ def murmur_hash3_mix(hash_, k):
 
 def murmur_hash3_finalize(h):
     """murmur3 avalanche finalizer (reference lcg_rng.ih:27-36)."""
-    h = h ^ (h >> jnp.uint32(16))
-    h = (h * jnp.uint32(0x85EBCA6B)).astype(jnp.uint32)
-    h = h ^ (h >> jnp.uint32(13))
-    h = (h * jnp.uint32(0xC2B2AE35)).astype(jnp.uint32)
-    h = h ^ (h >> jnp.uint32(16))
+    h = h ^ (h >> np.uint32(16))
+    h = (h * np.uint32(0x85EBCA6B)).astype(jnp.uint32)
+    h = h ^ (h >> np.uint32(13))
+    h = (h * np.uint32(0xC2B2AE35)).astype(jnp.uint32)
+    h = h ^ (h >> np.uint32(16))
     return h
 
 
@@ -67,7 +72,7 @@ def lcg_randomf(state):
     1.0; downstream users clamp, so we preserve that behavior). Returns
     (new_state, float32 draw)."""
     state, bits = lcg_random(state)
-    return state, bits.astype(jnp.float32) * jnp.float32(2.0**-32)
+    return state, bits.astype(jnp.float32) * np.float32(2.0**-32)
 
 
 def lcg_randomf2(state):

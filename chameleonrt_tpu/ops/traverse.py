@@ -23,12 +23,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from chameleonrt_tpu.ops.intersect import T_MAX
 from chameleonrt_tpu.ops.lbvh import PackedBvh
 
 STACK_DEPTH = 48
-_DONE = jnp.int32(0x7FFFFFFF)  # sentinel current-node value: lane finished
+# np scalar, NOT jnp (captured device scalars poison the whole process to
+# a ~26 ms/execution floor on the axon tunnel — scripts/capture_probe2.py)
+_DONE = np.int32(0x7FFFFFFF)  # sentinel current-node value: lane finished
 
 # Traversal steps executed per while_loop iteration. Each XLA while
 # iteration pays fixed op-dispatch overhead that dominates the (tiny) HBM
@@ -212,7 +215,7 @@ def _node_step(pbvh: PackedBvh, cur, orig, inv_dir, t_min, t_max):
     return hit_n, near_kid, kid_sum
 
 
-_BIG = jnp.float32(1e30)
+_BIG = np.float32(1e30)
 
 
 def _node_phase(pbvh: PackedBvh, cur, is_int, orig, inv_dir, t_min, t_max):
@@ -748,21 +751,21 @@ def ray_sort_perm_only(orig, dir, active):
     )
     # 2 bits per |direction| component (unit vector -> [0,4) quantization)
     dq = jnp.clip(jnp.abs(dir) * 3.999, 0.0, 3.0).astype(jnp.uint32)
-    dirq = (dq[:, 0] << jnp.uint32(4)) | (dq[:, 1] << jnp.uint32(2)) | dq[:, 2]
+    dirq = (dq[:, 0] << np.uint32(4)) | (dq[:, 1] << np.uint32(2)) | dq[:, 2]
     lo = jnp.min(orig, axis=0)
     hi = jnp.max(orig, axis=0)
     scale = 127.0 / jnp.maximum(hi - lo, 1e-20)
     q = jnp.clip((orig - lo) * scale, 0.0, 127.0).astype(jnp.uint32)
     morton = (
-        (_expand_bits_10(q[:, 0]) << jnp.uint32(2))
-        | (_expand_bits_10(q[:, 1]) << jnp.uint32(1))
+        (_expand_bits_10(q[:, 0]) << np.uint32(2))
+        | (_expand_bits_10(q[:, 1]) << np.uint32(1))
         | _expand_bits_10(q[:, 2])
     )
     key = (
-        ((~active).astype(jnp.uint32) << jnp.uint32(30))
-        | (octant << jnp.uint32(27))
-        | (dirq << jnp.uint32(21))
-        | (morton & jnp.uint32(0x001FFFFF))
+        ((~active).astype(jnp.uint32) << np.uint32(30))
+        | (octant << np.uint32(27))
+        | (dirq << np.uint32(21))
+        | (morton & np.uint32(0x001FFFFF))
     )
     return jnp.argsort(key)
 

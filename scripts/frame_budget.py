@@ -68,7 +68,7 @@ def main() -> int:
     ys, xs = jnp.mgrid[0:H, 0:W]
     px = xs.reshape(-1).astype(jnp.uint32)
     py = ys.reshape(-1).astype(jnp.uint32)
-    state = rng_ops.get_rng((px + py * W).astype(jnp.uint32), jnp.uint32(1))
+    state = rng_ops.get_rng((px + py * W).astype(jnp.uint32), np.uint32(1))
     _, orig0, dir0 = camera_ops.generate_primary_rays(
         view, px, py, float(W), float(H), state
     )
@@ -136,8 +136,8 @@ def main() -> int:
         lane2 = jnp.arange(orig.shape[0], dtype=jnp.int32)
         hv = active & (lane2 % 9 != 0)
         tri = (
-            (lane2.astype(jnp.uint32) * jnp.uint32(2654435761))
-            % jnp.uint32(max(num_tris, 1))
+            (lane2.astype(jnp.uint32) * np.uint32(2654435761))
+            % np.uint32(max(num_tris, 1))
         ).astype(jnp.int32)
         tt = 1.0 + 0.25 * (lane2 % 13).astype(jnp.float32)
         return Hit(
@@ -155,7 +155,7 @@ def main() -> int:
     @jax.jit
     def shade_frame(flat_):
         illum, rays = path_tracer.render_pixels(
-            flat_, meta, fake_closest, fake_any, view, jnp.uint32(0),
+            flat_, meta, fake_closest, fake_any, view, np.uint32(0),
             px, py, W, H, 1,
         )
         return illum
@@ -167,7 +167,7 @@ def main() -> int:
     @jax.jit
     def full_frame(flat_):
         illum, rays = path_tracer.render_pixels(
-            flat_, meta, tc, ta, view, jnp.uint32(0), px, py, W, H, 1,
+            flat_, meta, tc, ta, view, np.uint32(0), px, py, W, H, 1,
         )
         return illum
 

@@ -56,7 +56,7 @@ def main() -> int:
     px = xs.reshape(-1).astype(jnp.uint32)
     py = ys.reshape(-1).astype(jnp.uint32)
     pixel_id = (px + py * W).astype(jnp.uint32)
-    state = rng_ops.get_rng(pixel_id, jnp.uint32(1))
+    state = rng_ops.get_rng(pixel_id, np.uint32(1))
     _, orig, dirs = camera_ops.generate_primary_rays(
         view, px, py, float(W), float(H), state
     )

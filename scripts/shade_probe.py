@@ -43,8 +43,8 @@ def main() -> int:
         lane = jnp.arange(R, dtype=jnp.int32)
         hit = active & (lane % 9 != 0)
         tri = (
-            (lane.astype(jnp.uint32) * jnp.uint32(2654435761))
-            % jnp.uint32(max(num_tris, 1))
+            (lane.astype(jnp.uint32) * np.uint32(2654435761))
+            % np.uint32(max(num_tris, 1))
         ).astype(jnp.int32)
         t = 1.0 + 0.25 * (lane % 13).astype(jnp.float32)
         return Hit(
@@ -70,7 +70,7 @@ def main() -> int:
     @jax.jit
     def render(flat):
         illum, rays = path_tracer.render_pixels(
-            flat, meta, fake_closest, fake_any, view, jnp.uint32(1), px, py, W, H, 1
+            flat, meta, fake_closest, fake_any, view, np.uint32(1), px, py, W, H, 1
         )
         return illum.sum(), rays
 

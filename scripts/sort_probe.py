@@ -56,7 +56,7 @@ def main() -> int:
         # cheaper alternative: 8-bucket stable partition via one cumsum
         bench(
             "bucket partition (8) via argsort of 3-bit key",
-            lambda k: jnp.argsort(k >> jnp.uint32(29)),
+            lambda k: jnp.argsort(k >> np.uint32(29)),
             keys,
         )
     return 0

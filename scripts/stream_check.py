@@ -55,7 +55,7 @@ def main() -> int:
     ys, xs = jnp.mgrid[0:H, 0:W]
     px = xs.reshape(-1).astype(jnp.uint32)
     py = ys.reshape(-1).astype(jnp.uint32)
-    state = rng_ops.get_rng((px + py * W).astype(jnp.uint32), jnp.uint32(1))
+    state = rng_ops.get_rng((px + py * W).astype(jnp.uint32), np.uint32(1))
     _, orig, dirs = camera_ops.generate_primary_rays(
         view, px, py, float(W), float(H), state
     )
