@@ -84,17 +84,57 @@ def _unified_persistent_enabled() -> bool:
 
 
 def _closest_table(pair):
-    """Node table for closest-hit traversal: BVH4 by default (round 3 A/B
-    on the textured hall: 1138 vs 1326 ms/frame — 4 children per row halve
-    the node iterations for the same gathered bytes; 0.011% of pixels flip
+    """Node table for closest-hit traversal: the wide (BVH4) table by
+    default (round 3 A/B on the textured hall: 1138 vs 1326 ms/frame —
+    4 children per row halve the row fetches per ray; note the saving does
+    NOT extrapolate to BVH8, whose 256-byte rows double the fetched bytes
+    and slab/sort work — see _wide_arity). 0.011% of pixels flip
     coincident-surface ties vs the binary descent order, the same class
-    the cross-backend tolerance covers). Env CHAMELEONRT_CLOSEST_ARITY=2
+    the cross-backend tolerance covers. Env CHAMELEONRT_CLOSEST_ARITY=2
     restores the binary table (the any slot shares the same leaf rows)."""
     import os
 
     if os.environ.get("CHAMELEONRT_CLOSEST_ARITY") == "2":
         return pair.closest
     return pair.any
+
+
+def _wide_arity() -> int:
+    """Children per wide node row for native SAH builds (the packet
+    kernels' production table). Default 4: the BVH8 hypothesis (wider rows
+    cut rows-touched per ray) was measured and REFUTED on the v5e hall
+    (224K tris, 921K-ray wavefronts, gross packet ms closest/any —
+    W4: 154/85, W8: 212/106 at leaf 4; 64-float rows double the fetched
+    bytes and the slab+sort VPU work per iteration, and SAH binary
+    collapse leaves many empty slots, outweighing the row-count saving).
+    Env CHAMELEONRT_WIDE_ARITY=8 keeps the capability for re-measurement
+    on other scenes/hardware."""
+    import os
+
+    try:
+        w = int(os.environ.get("CHAMELEONRT_WIDE_ARITY", "4"))
+    except ValueError:
+        raise ValueError("CHAMELEONRT_WIDE_ARITY must be an integer") from None
+    if w not in (4, 8):
+        raise ValueError("CHAMELEONRT_WIDE_ARITY must be 4 or 8")
+    return w
+
+
+def _native_leaf_size() -> int:
+    """Triangles per leaf row for native SAH builds. Default 4: measured
+    on the v5e hall (gross packet ms closest/any at W=4 — leaf4: 154/85,
+    leaf8: 171/90; fatter leaves fetch more bytes per leaf visit than the
+    saved visits return). Env CHAMELEONRT_LEAF_SIZE overrides. The
+    on-device LBVH fallback keeps lbvh.LEAF_SIZE."""
+    import os
+
+    try:
+        s = int(os.environ.get("CHAMELEONRT_LEAF_SIZE", "4"))
+    except ValueError:
+        raise ValueError("CHAMELEONRT_LEAF_SIZE must be an integer") from None
+    if not (2 <= s <= 12):
+        raise ValueError("CHAMELEONRT_LEAF_SIZE must be in [2, 12]")
+    return s
 
 
 def _bucket_size(n: int) -> int:
@@ -146,7 +186,6 @@ def build_blas_set(
     import numpy as np
 
     from chameleonrt_tpu import native
-    from chameleonrt_tpu.ops.lbvh import LEAF_SIZE
 
     if meta.num_instances > 1:
         unified = build_unified_set(flat, meta, host_tris)
@@ -167,7 +206,8 @@ def build_blas_set(
                 host_tris[0][start : start + count],
                 host_tris[1][start : start + count],
                 host_tris[2][start : start + count],
-                LEAF_SIZE,
+                _native_leaf_size(),
+                wide_arity=_wide_arity(),
             )
             if res is not None:
                 nodes2, nodes4, leaf_rows, depth2, stack4 = res
@@ -215,7 +255,7 @@ def _rebase_codes(nodes: "np.ndarray", arity: int, node_off: int, leaf_map):
     shift by node_off; leaf codes c < 0 map through leaf_map(leaf_id)."""
     import numpy as np
 
-    cols = slice(12, 14) if arity == 2 else slice(24, 28)
+    cols = slice(12, 14) if arity == 2 else slice(6 * arity, 7 * arity)
     codes = nodes[:, cols].view(np.int32)
     internal = codes >= 0
     codes[internal] += node_off
@@ -235,10 +275,11 @@ def build_unified_set(flat: FlatScene, meta: SceneMeta, host_tris=None):
     import numpy as np
 
     from chameleonrt_tpu import native
-    from chameleonrt_tpu.ops.lbvh import LEAF_SIZE
-
     if native.get_lib() is None:
         return None
+
+    LEAF_SIZE = _native_leaf_size()
+    WIDE = _wide_arity()
 
     if host_tris is not None:
         v0, e1, e2 = host_tris[:3]
@@ -258,6 +299,7 @@ def build_unified_set(flat: FlatScene, meta: SceneMeta, host_tris=None):
             e1[start : start + count],
             e2[start : start + count],
             LEAF_SIZE,
+            wide_arity=WIDE,
         )
         if res is None:
             return None
@@ -331,6 +373,7 @@ def build_unified_set(flat: FlatScene, meta: SceneMeta, host_tris=None):
         inst_aabb[:, 3:6] - inst_aabb[:, 0:3],
         np.zeros((I, 3), np.float32),
         1,
+        wide_arity=WIDE,
     )
     if tres is None:
         return None
@@ -339,7 +382,7 @@ def build_unified_set(flat: FlatScene, meta: SceneMeta, host_tris=None):
 
     for arity, nsel, tnodes, tstack in (
         (2, 0, tnodes2.copy(), tdepth2),
-        (4, 1, tnodes4.copy(), tstack4),
+        (WIDE, 1, tnodes4.copy(), tstack4),
     ):
         node_cat = []
         node_off = []
@@ -388,7 +431,9 @@ def build_unified_set(flat: FlatScene, meta: SceneMeta, host_tris=None):
             stack_bound=stack_bound,
         )
 
-    return UnifiedPair(closest=out[2], any=out[4], inst_aabb=jnp.asarray(inst_aabb))
+    return UnifiedPair(
+        closest=out[2], any=out[WIDE], inst_aabb=jnp.asarray(inst_aabb)
+    )
 
 
 def compute_instance_aabbs(

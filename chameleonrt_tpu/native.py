@@ -99,6 +99,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.crt_bvh_max_stack4.restype = ctypes.c_int32
     lib.crt_bvh_max_stack4.argtypes = [ctypes.c_void_p]
     lib.crt_bvh_nodes4.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+    lib.crt_bvh_build_w.restype = ctypes.c_void_p
+    lib.crt_bvh_build_w.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+    ]
     lib.crt_bvh_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
@@ -143,13 +152,15 @@ def build_bvh_native(v0, e1, e2, leaf_size: int):
         lib.crt_bvh_free(handle)
 
 
-def build_bvh_pair_native(v0, e1, e2, leaf_size: int):
+def build_bvh_pair_native(v0, e1, e2, leaf_size: int, wide_arity: int = 4):
     """One binned-SAH build, both packed layouts: the binary 16-float-row
-    table (closest-hit traversal: ordered near-first descent wins there)
-    and the collapsed BVH4 32-float-row table (occlusion traversal: ~half
-    the internal iterations win there; measured on v5e hall 224K tris,
-    any-hit 495 -> 376 ms while closest regressed 423 -> 500 with BVH4).
-    Returns (nodes2, nodes4, leaf_rows, depth2, max_stack4) numpy arrays /
+    table (XLA-fallback closest traversal + parity oracle) and the
+    collapsed W-wide 8W-float-row table (the packet kernels' production
+    table for both closest and occlusion — the kernels are fetch-bound at
+    ~70 ns per scalar-indexed row fetch, so wider rows that halve the rows
+    touched per ray are a direct win; BVH4 measured any-hit 495 -> 376 ms
+    on the v5e hall, BVH8 halves internal rows again).
+    Returns (nodes2, nodesw, leaf_rows, depth2, max_stackw) numpy arrays /
     ints, or None when the native library is unavailable."""
     lib = get_lib()
     if lib is None:
@@ -161,28 +172,29 @@ def build_bvh_pair_native(v0, e1, e2, leaf_size: int):
     if n == 0:
         return None
     fptr = ctypes.POINTER(ctypes.c_float)
-    handle = lib.crt_bvh_build(
+    handle = lib.crt_bvh_build_w(
         v0.ctypes.data_as(fptr),
         e1.ctypes.data_as(fptr),
         e2.ctypes.data_as(fptr),
         n,
         leaf_size,
+        wide_arity,
     )
     if not handle:
         return None
     try:
         n_internal = lib.crt_bvh_num_internal(handle)
-        n4 = lib.crt_bvh_num_nodes4(handle)
+        nw = lib.crt_bvh_num_nodes4(handle)
         n_leaves = lib.crt_bvh_num_leaves(handle)
         nodes2 = np.empty((n_internal, 16), np.float32)
-        nodes4 = np.empty((n4, 32), np.float32)
+        nodesw = np.empty((nw, 8 * wide_arity), np.float32)
         leaf_rows = np.empty((n_leaves, 10 * leaf_size), np.float32)
         lib.crt_bvh_nodes(handle, nodes2.ctypes.data_as(fptr))
-        lib.crt_bvh_nodes4(handle, nodes4.ctypes.data_as(fptr))
+        lib.crt_bvh_nodes4(handle, nodesw.ctypes.data_as(fptr))
         lib.crt_bvh_leaf_rows(handle, leaf_rows.ctypes.data_as(fptr))
         return (
             nodes2,
-            nodes4,
+            nodesw,
             leaf_rows,
             int(lib.crt_bvh_max_depth(handle)),
             int(lib.crt_bvh_max_stack4(handle)),

@@ -85,9 +85,11 @@ class PackedBvh:
 
     @property
     def arity(self) -> int:
-        """Children per internal node row: 16-float rows pack 2 children
-        (both AABBs + codes), 32-float rows pack 4 (BVH4)."""
-        return 2 if self.nodes.shape[1] == 16 else 4
+        """Children per internal node row: row width is 8*arity — 16-float
+        rows pack 2 children (both AABBs + codes), 32-float rows pack 4
+        (BVH4), 64-float rows pack 8 (BVH8). Child AABBs sit at cols
+        [6c, 6c+6), codes bitcast at cols [6*arity, 7*arity)."""
+        return self.nodes.shape[1] // 8
 
     def tree_flatten(self):
         return (self.nodes, self.leaf_rows), self.max_depth
@@ -152,7 +154,7 @@ class UnifiedBvh:
 
     @property
     def arity(self) -> int:
-        return 2 if self.nodes.shape[1] == 16 else 4
+        return self.nodes.shape[1] // 8
 
     @property
     def leaf_size(self) -> int:

@@ -232,11 +232,28 @@ def _node_phase(pbvh: PackedBvh, cur, is_int, orig, inv_dir, t_min, t_max):
     return _node_phase4(pbvh, cur, is_int, orig, inv_dir, t_min, t_max)
 
 
+# ascending sorting networks (Bose–Nelson n=4, Batcher odd-even merge n=8)
+_SORT_NETS = {
+    4: ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)),
+    8: (
+        (0, 1), (2, 3), (4, 5), (6, 7),
+        (0, 2), (1, 3), (4, 6), (5, 7),
+        (1, 2), (5, 6),
+        (0, 4), (1, 5), (2, 6), (3, 7),
+        (2, 4), (3, 5),
+        (1, 2), (3, 4), (5, 6),
+    ),
+}
+
+
 def _node_phase4(pbvh: PackedBvh, cur, is_int, orig, inv_dir, t_min, t_max):
-    """BVH4 internal step: one (R, 32) row gather + 4 scalar-column slab
-    tests + a 5-comparator sorting network ordering hit children by entry
-    distance. Half the internal iterations of the binary layout for the
-    same gathered bytes per visited child."""
+    """Wide internal step (BVH4/BVH8): one (R, 8*arity) row gather +
+    arity scalar-column slab tests + a sorting network ordering hit
+    children by entry distance. Fewer internal iterations than the binary
+    layout for the same gathered bytes per visited child (the per-row
+    fetch, not the slab math, is the traversal currency on this
+    hardware)."""
+    arity = pbvh.arity
     row = pbvh.nodes[jnp.clip(cur, 0, pbvh.nodes.shape[0] - 1)]
     ox, oy, oz = orig[:, 0], orig[:, 1], orig[:, 2]
     ix, iy, iz = inv_dir[:, 0], inv_dir[:, 1], inv_dir[:, 2]
@@ -266,12 +283,14 @@ def _node_phase4(pbvh: PackedBvh, cur, is_int, orig, inv_dir, t_min, t_max):
 
     keys = []
     codes = []
-    for c in range(4):
+    for c in range(arity):
         hit_c, entry_c = slab(6 * c)
         keys.append(jnp.where(hit_c & is_int, entry_c, _BIG))
-        codes.append(jax.lax.bitcast_convert_type(row[:, 24 + c], jnp.int32))
+        codes.append(
+            jax.lax.bitcast_convert_type(row[:, 6 * arity + c], jnp.int32)
+        )
 
-    # sort the 4 (key, code) pairs ascending: Bose–Nelson network for n=4
+    # sort the (key, code) pairs ascending by entry distance
     def cswap(i, j):
         swap = keys[i] > keys[j]
         keys[i], keys[j] = (
@@ -283,11 +302,13 @@ def _node_phase4(pbvh: PackedBvh, cur, is_int, orig, inv_dir, t_min, t_max):
             jnp.where(swap, codes[i], codes[j]),
         )
 
-    for i, j in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+    for i, j in _SORT_NETS[arity]:
         cswap(i, j)
 
     next_int = jnp.where(keys[0] < _BIG, codes[0], _DONE)
-    pushes = [(codes[k], keys[k] < _BIG) for k in (3, 2, 1)]
+    pushes = [
+        (codes[k], keys[k] < _BIG) for k in range(arity - 1, 0, -1)
+    ]
     return next_int, pushes
 
 

@@ -83,6 +83,22 @@ _RESTORE = _DONE + 3
 _MT_EPS = 1e-9
 _BIG = 1e30
 
+# ascending sorting networks over child entry distances (closest-hit child
+# ordering; mirrors ops/traverse._SORT_NETS so both paths explore children
+# in the same near-first order and near-tie prims resolve identically)
+_SORT_NETS = {
+    2: ((0, 1),),
+    4: ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)),
+    8: (
+        (0, 1), (2, 3), (4, 5), (6, 7),
+        (0, 2), (1, 3), (4, 6), (5, 7),
+        (1, 2), (5, 6),
+        (0, 4), (1, 5), (2, 6), (3, 7),
+        (2, 4), (3, 5),
+        (1, 2), (3, 4), (5, 6),
+    ),
+}
+
 # Scoped-VMEM budget for the kernel (v5e has 128 MiB physical VMEM; the
 # XLA default scoped limit of 16 MiB is too small once the node+leaf
 # tables ride in VMEM next to the pipelined ray blocks).
@@ -1016,38 +1032,58 @@ def _make_persistent_kernel(
             was_int = cur >= 0
             if not closest:
                 early = _packet_reduce_min(occ, p_sub).reshape(K, 1) > 0.0
-            # choose the descend child: nearest entry (closest, ties to
-            # the lower child index — identical to the binary near/far
-            # selection) or the first hit child (any)
-            best_hit = ch_hit[0]
-            best_code = codes[0]
-            best_i = jnp.zeros((K, 1), jnp.int32)
             if closest:
-                best_e = jnp.where(ch_hit[0], ch_ent[0], _BIG)
-                for c in range(1, arity):
-                    e_c = jnp.where(ch_hit[c], ch_ent[c], _BIG)
-                    better = ch_hit[c] & (
-                        jnp.logical_not(best_hit) | (e_c < best_e)
+                # order ALL hit children by entry distance with a sorting
+                # network over (K,1) columns (cheap VPU ops): descend the
+                # nearest, push the rest far-to-near so pops run near-first
+                # — tightest best-t culling, and the same exploration order
+                # as the XLA oracle (ops/traverse._node_phase4), so
+                # near-tie prims resolve identically on both paths.
+                keys = [jnp.where(ch_hit[c], ch_ent[c], _BIG) for c in range(arity)]
+                kcodes = list(codes)
+
+                def _cswap(i, j):
+                    swap = keys[i] > keys[j]
+                    keys[i], keys[j] = (
+                        jnp.where(swap, keys[j], keys[i]),
+                        jnp.where(swap, keys[i], keys[j]),
                     )
-                    best_e = jnp.where(better, e_c, best_e)
-                    best_code = jnp.where(better, codes[c], best_code)
-                    best_i = jnp.where(better, c, best_i)
-                    best_hit = best_hit | ch_hit[c]
+                    kcodes[i], kcodes[j] = (
+                        jnp.where(swap, kcodes[j], kcodes[i]),
+                        jnp.where(swap, kcodes[i], kcodes[j]),
+                    )
+
+                for i, j in _SORT_NETS[arity]:
+                    _cswap(i, j)
+                best_hit = keys[0] < _BIG
+                best_code = kcodes[0]
+                # push far-to-near — one-hot masked writes into the
+                # (K, depth) stacks
+                sp2 = sp
+                for c in range(arity - 1, 0, -1):
+                    pm = (keys[c] < _BIG) & was_int
+                    stack_ref[:] = jnp.where(
+                        (iota_cols == sp2) & pm, kcodes[c], stack_ref[:]
+                    )
+                    sp2 = sp2 + pm.astype(jnp.int32)
             else:
+                # any-hit: unordered — first hit child descends, the rest
+                # push in child order
+                best_hit = ch_hit[0]
+                best_code = codes[0]
+                best_i = jnp.zeros((K, 1), jnp.int32)
                 for c in range(1, arity):
                     better = ch_hit[c] & jnp.logical_not(best_hit)
                     best_code = jnp.where(better, codes[c], best_code)
                     best_i = jnp.where(better, c, best_i)
                     best_hit = best_hit | ch_hit[c]
-            # push the remaining hit children (child order) — one-hot
-            # masked writes into the (K, depth) stacks
-            sp2 = sp
-            for c in range(arity):
-                pm = ch_hit[c] & was_int & (best_i != c)
-                stack_ref[:] = jnp.where(
-                    (iota_cols == sp2) & pm, codes[c], stack_ref[:]
-                )
-                sp2 = sp2 + pm.astype(jnp.int32)
+                sp2 = sp
+                for c in range(arity):
+                    pm = ch_hit[c] & was_int & (best_i != c)
+                    stack_ref[:] = jnp.where(
+                        (iota_cols == sp2) & pm, codes[c], stack_ref[:]
+                    )
+                    sp2 = sp2 + pm.astype(jnp.int32)
             want_pop = was_int & jnp.logical_not(best_hit)
             if closest:
                 can_pop = want_pop & (sp2 > 0)
@@ -1342,7 +1378,7 @@ def unified_persistent_eligible(ubvh, n_rays: int, p_sub: int = DEFAULT_P_SUB) -
     builder-certified stack bound, and tables + resident rays/outputs
     within the VMEM budget."""
     if (
-        ubvh.arity not in (2, 4)
+        ubvh.arity not in (2, 4, 8)
         or ubvh.stack_bound is None
         or ubvh.leaf_rows.shape[0] <= 1
     ):
@@ -1642,7 +1678,7 @@ def persistent_stream_eligible(pbvh, n_rays: int, p_sub: int = DEFAULT_P_SUB) ->
     exceeded — Rungholt-class scenes run HERE instead of dropping to the
     ~100x-slower XLA gather path (the reference's traversal is HBM-native
     at any scale, rtcIntersectV / render_embree.ispc:245)."""
-    if pbvh.arity not in (2, 4) or pbvh.num_leaves <= 1:
+    if pbvh.arity not in (2, 4, 8) or pbvh.num_leaves <= 1:
         return False
     bound = getattr(pbvh, "stack_bound", None)
     if bound is None:
@@ -1660,7 +1696,7 @@ def packet_eligible(pbvh: PackedBvh) -> bool:
     layout, builder-certified stack depth, >1 leaf, tables that fit VMEM.
     (The grid kernels remain binary-only; the caller routes BVH4 through
     the persistent kernels.)"""
-    if pbvh.arity not in (2, 4) or pbvh.max_depth is None or pbvh.num_leaves <= 1:
+    if pbvh.arity not in (2, 4, 8) or pbvh.max_depth is None or pbvh.num_leaves <= 1:
         return False
     table_bytes = (pbvh.nodes.size + pbvh.leaf_rows.size) * 4
     return table_bytes <= VMEM_TABLE_BUDGET

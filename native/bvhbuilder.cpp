@@ -218,16 +218,19 @@ struct Packed {
     int64_t n_internal = 0;
     int64_t n_leaves = 0;
     int max_depth = 0;
-    // 4-wide variant (collapsed from the binary tree): one row per BVH4
-    // node = 4 children x (lo xyz, hi xyz) in cols [6c, 6c+6) + 4 child
-    // codes bitcast at cols 24..27 + 4 pad cols = 32 floats (128 B).
-    // Empty slots store lo = hi = +1e30 (never hit by the slab test for
-    // any ray direction sign) and code = -1 (leaf 0; harmless if somehow
-    // reached). max_stack4 is the certified worst-case traversal stack
-    // occupancy: f(leaf) = 0, f(node) = max_c f(c) + (n_children - 1).
+    // W-wide variant (collapsed from the binary tree): one row per node =
+    // W children x (lo xyz, hi xyz) in cols [6c, 6c+6) + W child codes
+    // bitcast at cols [6W, 7W) + W pad cols = 8W floats (BVH4: 32 floats,
+    // BVH8: 64 floats — the traversal kernels read codes at 6*arity + c
+    // and derive arity = row_width / 8). Empty slots store lo = hi = +1e30
+    // (never hit by the slab test for any ray direction sign) and
+    // code = -1 (leaf 0; harmless if somehow reached). max_stack4 is the
+    // certified worst-case traversal stack occupancy:
+    // f(leaf) = 0, f(node) = max_c f(c) + (n_children - 1).
     std::vector<float> nodes4;
     int64_t n_nodes4 = 0;
     int max_stack4 = 0;
+    int wide_arity = 4;
 };
 
 inline float bits(int32_t v) {
@@ -309,20 +312,24 @@ Packed *pack(const Builder &b) {
 
 constexpr float kEmptySlot = 1e30f;
 
-// Collapse the binary build tree into a 4-wide tree and emit packed rows.
-// Returns the node's BVH4 row index (>= 0) or leaf code (< 0), and fills
+// Collapse the binary build tree into a W-wide tree and emit packed rows.
+// Returns the node's wide row index (>= 0) or leaf code (< 0), and fills
 // *stack_need with the certified worst-case stack occupancy of the subtree.
-int32_t emit4(const Builder &b, Packed *p, int32_t node_id, int *stack_need) {
+int32_t emitw(const Builder &b, Packed *p, int32_t node_id, int *stack_need) {
+    const int W = p->wide_arity;
+    const int row_w = 8 * W;
     const BuildNode &nd = b.nodes[node_id];
     if (nd.leaf_id >= 0) {
         *stack_need = 0;
         return -(nd.leaf_id + 1);
     }
-    // gather up to 4 slots: start with the two children, then repeatedly
+    // gather up to W slots: start with the two children, then repeatedly
     // expand the internal slot with the largest surface area
-    int32_t slot[4] = {nd.left, nd.right, -1, -1};
+    std::vector<int32_t> slot(W, -1);
+    slot[0] = nd.left;
+    slot[1] = nd.right;
     int n = 2;
-    while (n < 4) {
+    while (n < W) {
         int pick = -1;
         float best_area = -1.f;
         for (int s = 0; s < n; ++s) {
@@ -341,26 +348,26 @@ int32_t emit4(const Builder &b, Packed *p, int32_t node_id, int *stack_need) {
     }
 
     int64_t me = p->n_nodes4++;
-    p->nodes4.resize(p->n_nodes4 * 32, 0.0f);
+    p->nodes4.resize(p->n_nodes4 * row_w, 0.0f);
     int worst = 0;
-    for (int s = 0; s < 4; ++s) {
+    for (int s = 0; s < W; ++s) {
         int child_need = 0;
         int32_t code;
         Aabb box;
         if (s < n) {
             box = b.nodes[slot[s]].box;
-            code = emit4(b, p, slot[s], &child_need);
+            code = emitw(b, p, slot[s], &child_need);
         } else {
             for (int a = 0; a < 3; ++a) box.lo[a] = box.hi[a] = kEmptySlot;
             code = -1;
         }
-        // p->nodes4 may have been reallocated by the recursive emit4
-        float *row = p->nodes4.data() + me * 32;
+        // p->nodes4 may have been reallocated by the recursive emitw
+        float *row = p->nodes4.data() + me * row_w;
         for (int a = 0; a < 3; ++a) {
             row[6 * s + a] = box.lo[a];
             row[6 * s + 3 + a] = box.hi[a];
         }
-        row[24 + s] = bits(code);
+        row[6 * W + s] = bits(code);
         // exploring child s first leaves the other (n-1) hits on the stack
         worst = std::max(worst, child_need + (n - 1));
     }
@@ -369,27 +376,29 @@ int32_t emit4(const Builder &b, Packed *p, int32_t node_id, int *stack_need) {
     return static_cast<int32_t>(me);
 }
 
-void pack4(const Builder &b, Packed *p) {
+void packw(const Builder &b, Packed *p) {
+    const int W = p->wide_arity;
+    const int row_w = 8 * W;
     int need = 0;
-    p->nodes4.reserve((b.nodes.size() / 2 + 4) * 32);
-    int32_t root = emit4(b, p, 0, &need);
+    p->nodes4.reserve((b.nodes.size() / 2 + 4) * row_w);
+    int32_t root = emitw(b, p, 0, &need);
     if (root < 0) {
         // whole scene is one leaf: synthesize a root row pointing at it
         int64_t me = p->n_nodes4++;
-        p->nodes4.resize(p->n_nodes4 * 32, 0.0f);
-        float *row = p->nodes4.data() + me * 32;
+        p->nodes4.resize(p->n_nodes4 * row_w, 0.0f);
+        float *row = p->nodes4.data() + me * row_w;
         const Aabb &bx = b.nodes[0].box;
         for (int a = 0; a < 3; ++a) {
             row[a] = bx.lo[a];
             row[3 + a] = bx.hi[a];
         }
-        row[24] = bits(root);
-        for (int s = 1; s < 4; ++s) {
+        row[6 * W] = bits(root);
+        for (int s = 1; s < W; ++s) {
             for (int a = 0; a < 3; ++a) {
                 row[6 * s + a] = kEmptySlot;
                 row[6 * s + 3 + a] = kEmptySlot;
             }
-            row[24 + s] = bits(int32_t(-1));
+            row[6 * W + s] = bits(int32_t(-1));
         }
     }
     p->max_stack4 = std::max(p->max_stack4, 1);
@@ -399,9 +408,10 @@ void pack4(const Builder &b, Packed *p) {
 
 extern "C" {
 
-void *crt_bvh_build(const float *v0, const float *e1, const float *e2,
-                    int64_t n, int32_t leaf_size) {
+void *crt_bvh_build_w(const float *v0, const float *e1, const float *e2,
+                      int64_t n, int32_t leaf_size, int32_t wide_arity) {
     if (n <= 0 || leaf_size <= 0) return nullptr;
+    if (wide_arity < 2 || wide_arity > 16) wide_arity = 4;
     Builder b;
     b.v0 = v0;
     b.e1 = e1;
@@ -410,9 +420,17 @@ void *crt_bvh_build(const float *v0, const float *e1, const float *e2,
     b.leaf_size = leaf_size;
     b.run();
     Packed *p = pack(b);
-    pack4(b, p);
+    p->wide_arity = wide_arity;
+    packw(b, p);
     return p;
 }
+
+void *crt_bvh_build(const float *v0, const float *e1, const float *e2,
+                    int64_t n, int32_t leaf_size) {
+    return crt_bvh_build_w(v0, e1, e2, n, leaf_size, 4);
+}
+
+int32_t crt_bvh_wide_arity(void *h) { return static_cast<Packed *>(h)->wide_arity; }
 
 int64_t crt_bvh_num_nodes4(void *h) { return static_cast<Packed *>(h)->n_nodes4; }
 int32_t crt_bvh_max_stack4(void *h) { return static_cast<Packed *>(h)->max_stack4; }

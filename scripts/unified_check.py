@@ -106,6 +106,7 @@ def main() -> int:
                     f"pallas prim={p1[i]} inst={i1[i]} t={t1[i]:.6f}"
                 )
                 # host-MT verify whichever side claims a hit: is it genuine?
+                side_genuine = {}
                 for side, pp, ii, tt in (
                     ("xla", p0[i], i0[i], t0[i]),
                     ("pallas", p1[i], i1[i], t1[i]),
@@ -129,16 +130,28 @@ def main() -> int:
                     vv = float(od @ qv) / det
                     th = float(e2t @ qv) / det
                     genuine = 0 <= uu and 0 <= vv and uu + vv <= 1 and th > 0
+                    side_genuine[side] = genuine
                     print(
                         f"    {side} host-MT: u={uu:.5f} v={vv:.5f} t={th:.6f} "
                         f"genuine={genuine} (kernel t={tt:.6f})"
                     )
-                    # benign class: the XLA oracle missed a hit the kernel
-                    # found, and the hit is host-verified genuine (f32
-                    # borderline edge/t_min cases where pallas is the more
-                    # correct side)
+                    # benign class 1: the XLA oracle missed a hit the
+                    # kernel found, and the hit is host-verified genuine
+                    # (f32 borderline edge/t_min cases where pallas is the
+                    # more correct side)
                     if side == "pallas" and p0[i] < 0 and genuine:
                         benign += 1
+                # benign class 2: exact-t tie between two coincident
+                # prims, both host-verified genuine — descent-order
+                # dependent, either answer is correct
+                if (
+                    p0[i] >= 0
+                    and p1[i] >= 0
+                    and side_genuine.get("xla")
+                    and side_genuine.get("pallas")
+                    and abs(t0[i] - t1[i]) <= 1e-6 * max(1.0, abs(t0[i]))
+                ):
+                    benign += 1
         # shadow rays toward a fixed point above the grid (semi-coherent)
         hit_p = np.asarray(o) + t0[:, None] * np.asarray(dd)
         target = np.array([0.0, 14.0, 0.0], np.float32)
