@@ -25,7 +25,6 @@ from chameleonrt_tpu.ops.bsdf import MaterialBatch
 from chameleonrt_tpu.ops.lights import LightArrays
 from chameleonrt_tpu.ops.texture import TextureAtlas, textured_color_param, textured_scalar_param
 from chameleonrt_tpu.scene.types import ColorSpace, MaterialMode, Scene
-from chameleonrt_tpu.utils.util import srgb_to_linear
 
 
 class FlatScene(NamedTuple):
@@ -211,31 +210,46 @@ def build_device_scene(scene: Scene, want_host: bool = False):
     # pre-built bilinear quad rows (one (R,16) gather per sample on device;
     # see ops/texture.py)
     if scene.textures and scene.material_mode != MaterialMode.WHITE_DIFFUSE:
-        from chameleonrt_tpu.ops.texture import build_quad_rows
+        from chameleonrt_tpu.ops.texture import build_quad_rows_device
 
-        quads = []
+        # Ship u8 texels only; linearization + the 16x-larger float quad
+        # atlas happen ON DEVICE (build_quad_rows_device docstring: the
+        # single-core host made the numpy quad build + concat + transfer
+        # serialization the set_scene bottleneck). Channel spread to RGBA
+        # stays host-side on the small u8 images.
         table = np.zeros((len(scene.textures), 3), np.int32)
-        off = 0
+        groups: dict = {}  # (h, w) -> [(texture id, rgba u8, srgb flag)]
         for ti, img in enumerate(scene.textures):
             h, w, c = img.data.shape
-            rgba = np.ones((h, w, 4), np.float32)
-            fdata = img.data.astype(np.float32) / 255.0
-            if img.color_space == ColorSpace.SRGB:
-                # alpha channel stays linear
-                ncol = min(c, 3)
-                fdata[..., :ncol] = srgb_to_linear(fdata[..., :ncol])
+            rgba = np.full((h, w, 4), 255, np.uint8)
+            data = img.data
             if c == 1:
-                rgba[..., 0:3] = fdata
+                rgba[..., 0:3] = data
             elif c == 2:
-                rgba[..., 0:3] = fdata[..., 0:1]
-                rgba[..., 3] = fdata[..., 1]
+                rgba[..., 0:3] = data[..., 0:1]
+                rgba[..., 3] = data[..., 1]
             else:
-                rgba[..., :c] = fdata
-            quads.append(build_quad_rows(rgba))
-            table[ti] = (off, w, h)
-            off += w * h
+                rgba[..., :c] = data
+            # alpha channel stays linear; srgb flag linearizes rgb only
+            groups.setdefault((h, w), []).append(
+                (ti, rgba, img.color_space == ColorSpace.SRGB)
+            )
+        # one stacked device call per texture shape (atlas rows follow
+        # group order; table offsets point each texture id at its rows)
+        quads = []
+        off = 0
+        for (h, w), items in groups.items():
+            stack = np.stack([r for _, r, _ in items])
+            flags = np.array([s for _, _, s in items])
+            quads.append(
+                build_quad_rows_device(jnp.asarray(stack), jnp.asarray(flags))
+            )
+            for j, (ti, _, _) in enumerate(items):
+                table[ti] = (off + j * h * w, w, h)
+            off += len(items) * h * w
         atlas = TextureAtlas(
-            atlas=jnp.asarray(np.concatenate(quads)), table=jnp.asarray(table)
+            atlas=jnp.concatenate(quads) if len(quads) > 1 else quads[0],
+            table=jnp.asarray(table),
         )
     else:
         atlas = TextureAtlas.empty()

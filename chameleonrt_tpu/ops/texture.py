@@ -55,6 +55,29 @@ def build_quad_rows(rgba):
     return np.ascontiguousarray(q.reshape(-1, 16), dtype=np.float32)
 
 
+@jax.jit
+def build_quad_rows_device(rgba_u8, srgb):
+    """Device-side quad-row construction: (T, h, w, 4) uint8 texels +
+    (T,) bool sRGB flags -> (T*h*w, 16) float32 quad rows (same layout as
+    build_quad_rows, batched). The host stays out of the hot path: scene
+    upload ships T*h*w*4 BYTES and the 16x-larger float quad atlas is
+    materialized on device — on the single-core host the numpy quad
+    build + 134 MB concat + transfer serialization dominated set_scene
+    (~20 s for 8 512^2 textures; this path is ~0.3 s). Alpha stays
+    linear; rgb linearizes per the per-texture flag (util/util.cpp:102)."""
+    f = rgba_u8.astype(jnp.float32) * (1.0 / 255.0)
+    rgb = f[..., :3]
+    lin = jnp.where(rgb <= 0.04045, rgb / 12.92, ((rgb + 0.055) / 1.055) ** 2.4)
+    rgb = jnp.where(srgb[:, None, None, None], lin, rgb)
+    f = jnp.concatenate([rgb, f[..., 3:4]], axis=-1)
+    p = jnp.concatenate([f, f[:, :, :1]], axis=2)  # wrap column
+    p = jnp.concatenate([p, p[:, :1]], axis=1)  # wrap row
+    q = jnp.concatenate(
+        [p[:, :-1, :-1], p[:, :-1, 1:], p[:, 1:, :-1], p[:, 1:, 1:]], axis=3
+    )
+    return q.reshape(-1, 16)
+
+
 def _wrap(x, n):
     """Positive wrap (reference texture2d.ih:32-37 + util.ih mod)."""
     return jnp.mod(x, jnp.maximum(n, 1))
