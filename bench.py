@@ -213,24 +213,35 @@ def run_config(url, width, height, frames, spp, warmup=1):
     d = cam.center - cam.position
     d = d / np.linalg.norm(d)
 
-    times, rays = [], []
-    for i in range(warmup + frames):
-        st = backend.render(
+    for i in range(warmup):
+        backend.render(
             cam.position, d, cam.up, cam.fov_y,
             camera_changed=(i == 0),
             readback_framebuffer=False,
         )
-        if i >= warmup:
-            times.append(st.render_time)
-            rays.append(st.rays_traced)
+    # timed frames pipeline on device (defer_stats: no per-frame tunnel
+    # round trip); ONE synchronizing fetch of the summed ray counters
+    # closes the batch, so ms/frame is true device throughput
+    lazy_rays = []
+    t0 = time.perf_counter()
+    for i in range(frames):
+        st = backend.render(
+            cam.position, d, cam.up, cam.fov_y,
+            camera_changed=False,
+            readback_framebuffer=False,
+            defer_stats=True,
+        )
+        lazy_rays.append(st.rays_traced)
+    total_rays = int(sum(int(r) for r in lazy_rays))
+    dt = time.perf_counter() - t0
 
-    ms = float(np.mean(times))
-    mrays = float(np.sum(rays) / (np.sum(times) / 1e3) / 1e6)
+    ms = dt * 1e3 / frames
+    mrays = float(total_rays / dt / 1e6)
     return {
         "mrays_per_s": round(mrays, 3),
         "ms_per_frame": round(ms, 2),
         "fps": round(1000.0 / ms, 2) if ms > 0 else 0,
-        "rays_per_frame": int(np.mean(rays)),
+        "rays_per_frame": total_rays // max(frames, 1),
         "tris": scene.unique_tris(),
         "total_tris": scene.total_tris(),
         "spp": spp,

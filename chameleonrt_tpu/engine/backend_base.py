@@ -229,7 +229,15 @@ class JaxRenderBackend(RenderBackend):
         fov_y: float,
         camera_changed: bool,
         readback_framebuffer: bool = True,
+        defer_stats: bool = False,
     ) -> RenderStats:
+        """defer_stats=True skips the per-frame device->host fetch of the
+        ray counter (a full tunnel round trip, ~30-80 ms measured — pure
+        measurement overhead a local host would not pay): rays_traced is
+        returned as a lazy device scalar (int()/np.asarray it later, which
+        synchronizes), render_time is dispatch time only, and frames
+        pipeline back-to-back on device. Benchmark harnesses time the
+        whole N-frame batch around one final synchronizing fetch."""
         if self.flat is None:
             raise RuntimeError("set_scene must be called before render")
         if camera_changed:
@@ -248,6 +256,18 @@ class JaxRenderBackend(RenderBackend):
         self._accum, rays = self._render_jit(
             self.flat, view, self._accum, np.uint32(self.frame_id)
         )
+        if defer_stats:
+            jax.block_until_ready(self._accum)
+            dt = time.perf_counter() - t0
+            stats = RenderStats(
+                render_time=dt * 1e3,
+                rays_per_second=0.0,
+                rays_traced=rays if self.report_ray_stats else 0,
+            )
+            if readback_framebuffer:
+                self.img = np.asarray(self._tonemap_jit(self._accum))[: self.fb_height]
+            self.frame_id += 1
+            return stats
         rays = int(jax.block_until_ready(rays)) if self.report_ray_stats else 0
         jax.block_until_ready(self._accum)
         dt = time.perf_counter() - t0

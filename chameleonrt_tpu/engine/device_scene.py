@@ -255,9 +255,13 @@ def build_device_scene(scene: Scene, want_host: bool = False):
         atlas = TextureAtlas.empty()
 
     # Fused shading rows (see FlatScene docstring). For single-instance
-    # scenes the per-triangle material id is static and baked into the row.
+    # scenes the per-triangle material id is static, so the FULL packed
+    # material record is baked into cols [16, 30): shading then needs ONE
+    # (R, 32) row gather total — a gather costs ~12 ns/row regardless of
+    # width (measured), so folding the separate (R, 16) material-table
+    # gather in saves ~11 ms/bounce at 921K lanes.
     n_tris_pad = max(num_tris, 1)
-    shade_rows = np.zeros((n_tris_pad, 16), np.float32)
+    shade_rows = np.zeros((n_tris_pad, 32), np.float32)
     if num_tris:
         shade_rows[:num_tris, 0:3] = tri_e1
         shade_rows[:num_tris, 3:6] = tri_e2
@@ -268,6 +272,7 @@ def build_device_scene(scene: Scene, want_host: bool = False):
         if n_inst == 1:
             tri_mat = inst_mat_table[0][tri_geom_slot]
             shade_rows[:num_tris, 13] = tri_mat.astype(np.int32).view(np.float32)
+            shade_rows[:num_tris, 16:30] = packed[tri_mat]
 
     mat_rows = np.zeros((n_mat, 16), np.float32)
     mat_rows[:, :14] = packed
@@ -315,6 +320,13 @@ def unpack_material(flat: FlatScene, meta: SceneMeta, mat_id, uv) -> MaterialBat
     texture-free scenes (static on SceneMeta)."""
     mat_id = jnp.clip(mat_id, 0, flat.mat_rows.shape[0] - 1)
     row = flat.mat_rows[mat_id]  # (R, 16)
+    return unpack_material_row(flat, meta, row, uv)
+
+
+def unpack_material_row(flat: FlatScene, meta: SceneMeta, row, uv) -> MaterialBatch:
+    """unpack_material for callers that already hold the packed material
+    record per lane (e.g. single-instance shading, where it rides in the
+    fused shade row — no separate material-table gather)."""
     base_color = row[:, 0:3]
     fields = {
         name: row[:, 3 + i]

@@ -27,7 +27,12 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from chameleonrt_tpu.engine.device_scene import FlatScene, SceneMeta, unpack_material
+from chameleonrt_tpu.engine.device_scene import (
+    FlatScene,
+    SceneMeta,
+    unpack_material,
+    unpack_material_row,
+)
 from chameleonrt_tpu.ops import bsdf as bsdf_ops
 from chameleonrt_tpu.ops import camera as camera_ops
 from chameleonrt_tpu.ops import lights as light_ops
@@ -100,11 +105,16 @@ def _shade_bounce(
     e1 = srow[:, 0:3]
     e2 = srow[:, 3:6]
     ng_obj = jnp.cross(e1, e2)
+    w = hit_u[..., None]
+    wv = hit_v[..., None]
+    uv = (1.0 - w - wv) * srow[:, 6:8] + w * srow[:, 8:10] + wv * srow[:, 10:12]
     if meta.num_instances == 1:
-        # static instance: world normal via one small matmul
+        # static instance: world normal via one small matmul; the packed
+        # material record rides in the shade row (cols 16:30) — no
+        # material-table gather at all
         inv3 = flat.inst_inv[0, :3, :3]
         normal = normalize(ng_obj @ inv3)
-        mat_id = jax.lax.bitcast_convert_type(srow[:, 13], jnp.int32)
+        mat = unpack_material_row(flat, meta, srow[:, 16:32], uv)
     else:
         inst = jnp.clip(hit_inst, 0, meta.num_instances - 1)
         inv = flat.inst_inv[inst]
@@ -112,10 +122,7 @@ def _shade_bounce(
         normal = normalize(jnp.einsum("rji,rj->ri", inv[:, :3, :3], ng_obj))
         geom_slot = jax.lax.bitcast_convert_type(srow[:, 12], jnp.int32)
         mat_id = flat.inst_mat_table[inst, geom_slot]
-    w = hit_u[..., None]
-    wv = hit_v[..., None]
-    uv = (1.0 - w - wv) * srow[:, 6:8] + w * srow[:, 8:10] + wv * srow[:, 10:12]
-    mat = unpack_material(flat, meta, mat_id, uv)
+        mat = unpack_material(flat, meta, mat_id, uv)
 
     # Face-forward for non-transmissive materials (ispc:297-299)
     flip = (mat.specular_transmission == 0.0) & (dot(w_o, normal) < 0.0)

@@ -756,13 +756,17 @@ def traverse_any_unified_blocked(
 
 
 def ray_sort_perm_only(orig, dir, active):
-    """Just the sort permutation of ray_sort_perm (no inverse): active lanes
-    first, then direction octant, then 2 more direction bits per axis, then
-    21-bit origin Morton (batch-adaptive quantization). The extra direction
-    bits matter for diffuse bounce wavefronts (point-origin primaries sort
-    by direction alone): shared-stack packet traversal pays the UNION of a
-    packet's per-ray node visits, and within one octant cosine-hemisphere
-    directions still span 90 degrees. ~0.13 ms argsort at 921K keys."""
+    """Just the sort permutation of ray_sort_perm (no inverse). Key, most
+    significant first: active lanes first (1 bit), COARSE origin Morton
+    (top 18 of 27 bits, batch-adaptive quantization), direction octant
+    (3 bits), fine origin Morton (low 9 bits). Shared-stack packet
+    traversal pays the UNION of a packet's per-ray node visits; measured
+    on the hall diffuse-bounce wavefront, clustering by coarse ORIGIN
+    before direction cuts kernel iterations 27.7K -> 20.9K (-25%, round 3
+    scripts/sortkey_probe.py) vs the round-2 direction-major key — rays
+    from one surface patch share the BVH's upper levels regardless of
+    direction, and the octant split below handles the descent divergence.
+    ~0.13 ms argsort at 921K keys."""
     from chameleonrt_tpu.ops.lbvh import _expand_bits_10
 
     octant = (
@@ -770,36 +774,33 @@ def ray_sort_perm_only(orig, dir, active):
         + (dir[:, 1] < 0).astype(jnp.uint32) * 2
         + (dir[:, 2] < 0).astype(jnp.uint32)
     )
-    # 2 bits per |direction| component (unit vector -> [0,4) quantization)
-    dq = jnp.clip(jnp.abs(dir) * 3.999, 0.0, 3.0).astype(jnp.uint32)
-    dirq = (dq[:, 0] << np.uint32(4)) | (dq[:, 1] << np.uint32(2)) | dq[:, 2]
     lo = jnp.min(orig, axis=0)
     hi = jnp.max(orig, axis=0)
-    scale = 127.0 / jnp.maximum(hi - lo, 1e-20)
-    q = jnp.clip((orig - lo) * scale, 0.0, 127.0).astype(jnp.uint32)
+    scale = 511.0 / jnp.maximum(hi - lo, 1e-20)
+    q = jnp.clip((orig - lo) * scale, 0.0, 511.0).astype(jnp.uint32)
     morton = (
         (_expand_bits_10(q[:, 0]) << np.uint32(2))
         | (_expand_bits_10(q[:, 1]) << np.uint32(1))
         | _expand_bits_10(q[:, 2])
-    )
+    )  # 27 bits
     key = (
         ((~active).astype(jnp.uint32) << np.uint32(30))
-        | (octant << np.uint32(27))
-        | (dirq << np.uint32(21))
-        | (morton & np.uint32(0x001FFFFF))
+        | ((morton >> np.uint32(9)) << np.uint32(12))
+        | (octant << np.uint32(9))
+        | (morton & np.uint32(0x1FF))
     )
     return jnp.argsort(key)
 
 
 def ray_sort_perm(orig, dir, active):
     """Permutation that groups rays for lockstep traversal, using the same
-    key as ray_sort_perm_only: active lanes first, then direction octant
-    (3 bits), then 6 quantized |direction| bits, then a 21-bit Morton code
-    of the origin (batch-adaptive quantization). Traversal cost per block
-    is its WORST lane's path length, so grouping similar rays is a direct
-    lever; the sort itself is ~0.13 ms at 921K keys on v5e (measured) —
-    noise next to a traversal pass. Returns (perm, inv): x_sorted =
-    x[perm], result_original = result_sorted[inv]."""
+    key as ray_sort_perm_only (coarse origin Morton, then direction
+    octant, then fine origin Morton — see its docstring for the measured
+    rationale). Traversal cost per block is its WORST lane's path length,
+    so grouping similar rays is a direct lever; the sort itself is
+    ~0.13 ms at 921K keys on v5e (measured) — noise next to a traversal
+    pass. Returns (perm, inv): x_sorted = x[perm], result_original =
+    result_sorted[inv]."""
     R = orig.shape[0]
     perm = ray_sort_perm_only(orig, dir, active)
     inv = (

@@ -116,9 +116,27 @@ def _bcast(col, p_sub):
     return jnp.broadcast_to(rep, (kk * p_sub, P_LANE))
 
 
+_INV_EPS = 1e-30  # 1/_INV_EPS = 1e30 stays finite in f32
+
+
+def _safe_inv(d):
+    """Sign-preserving clamped reciprocal: never inf (|result| <= 1e30).
+    Feeding the slab test a FINITE inverse removes the 0*inf NaN case
+    entirely, so the per-child isnan guards (12 of ~37 VPU ops per child
+    slab, ~30% of the node phase) disappear. Verdict parity with the
+    guarded form: a parallel ray strictly outside the slab still misses
+    (same-sign huge products), strictly inside still passes (opposite
+    signs), and exactly ON the boundary gets entry 0 instead of -inf —
+    the same hit/miss decision in every case."""
+    return 1.0 / jnp.where(
+        jnp.abs(d) < _INV_EPS, jnp.where(d < 0, -_INV_EPS, _INV_EPS), d
+    )
+
+
 def _slab(rows, c, p_sub, ox, oy, oz, ix, iy, iz, t_min, t_cap):
     """Per-ray slab test of child AABB at node-row columns [c, c+6) for all
-    K packets jointly. rows: (K,16). Returns (hit, entry) as (K*p_sub,128)."""
+    K packets jointly. rows: (K,16). Returns (hit, entry) as (K*p_sub,128).
+    REQUIRES finite inverse directions (_safe_inv) — no NaN guards here."""
     lox, loy, loz = rows[:, c + 0 : c + 1], rows[:, c + 1 : c + 2], rows[:, c + 2 : c + 3]
     hix, hiy, hiz = rows[:, c + 3 : c + 4], rows[:, c + 4 : c + 5], rows[:, c + 5 : c + 6]
     tx0 = (_bcast(lox, p_sub) - ox) * ix
@@ -130,13 +148,6 @@ def _slab(rows, c, p_sub, ox, oy, oz, ix, iy, iz, t_min, t_cap):
     txn, txf = jnp.minimum(tx0, tx1), jnp.maximum(tx0, tx1)
     tyn, tyf = jnp.minimum(ty0, ty1), jnp.maximum(ty0, ty1)
     tzn, tzf = jnp.minimum(tz0, tz1), jnp.maximum(tz0, tz1)
-    # 0*inf NaN guards (rays parallel to a slab): entry -inf / exit +inf
-    txn = jnp.where(jnp.isnan(txn), -jnp.inf, txn)
-    tyn = jnp.where(jnp.isnan(tyn), -jnp.inf, tyn)
-    tzn = jnp.where(jnp.isnan(tzn), -jnp.inf, tzn)
-    txf = jnp.where(jnp.isnan(txf), jnp.inf, txf)
-    tyf = jnp.where(jnp.isnan(tyf), jnp.inf, tyf)
-    tzf = jnp.where(jnp.isnan(tzf), jnp.inf, tzf)
     entry = jnp.maximum(jnp.maximum(txn, tyn), jnp.maximum(tzn, t_min))
     exit_ = jnp.minimum(jnp.minimum(txf, tyf), jnp.minimum(tzf, t_cap))
     return entry <= exit_, entry
@@ -241,7 +252,7 @@ def _closest_kernel(
 ):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
     t_min = tmin_ref[:]
 
     # per-slot init: everyone starts at the root; all-dead packets miss both
@@ -398,7 +409,7 @@ def _any_kernel(
     all-reduction can fire."""
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
     t_min = tmin_ref[:]
     t_max = tmax_ref[:]
 
@@ -743,14 +754,20 @@ def _make_persistent_kernel(
             the 88 MiB VMEM table wall for Rungholt-class scenes
             (VERDICT r2 missing #2)."""
             if not stream_tables:
+                # CHAMELEONRT_KERNEL_X2=fetch doubles every row copy (ref
+                # stores survive DCE, control flow unchanged): the marginal
+                # t/iteration vs the default run measures the serialized
+                # fetch loop's true share of the iteration (perf probe).
+                reps = 2 if _os.environ.get("CHAMELEONRT_KERNEL_X2") == "fetch" else 1
                 for k in range(K):
                     c = cur_ref[k, 0]
 
                     @pl.when(cond_fn(c))
                     def _(k=k, c=c):
-                        dst_scr[pl.ds(k, 1), :] = src_ref[
-                            pl.ds(row_of(c), 1), :
-                        ]
+                        for _r in range(reps):
+                            dst_scr[pl.ds(k, 1), :] = src_ref[
+                                pl.ds(row_of(c), 1), :
+                            ]
                 return
             for k in range(K):
                 c = cur_ref[k, 0]
@@ -788,9 +805,9 @@ def _make_persistent_kernel(
                 w_dx[pl.ds(wrow, 1), :] = dxr
                 w_dy[pl.ds(wrow, 1), :] = dyr
                 w_dz[pl.ds(wrow, 1), :] = dzr
-                w_ix[pl.ds(wrow, 1), :] = 1.0 / dxr
-                w_iy[pl.ds(wrow, 1), :] = 1.0 / dyr
-                w_iz[pl.ds(wrow, 1), :] = 1.0 / dzr
+                w_ix[pl.ds(wrow, 1), :] = _safe_inv(dxr)
+                w_iy[pl.ds(wrow, 1), :] = _safe_inv(dyr)
+                w_iz[pl.ds(wrow, 1), :] = _safe_inv(dzr)
                 w_tmin[pl.ds(wrow, 1), :] = tmin_ref[pl.ds(src, 1), :]
                 if closest:
                     bt_scr[pl.ds(wrow, 1), :] = jnp.minimum(
@@ -917,9 +934,9 @@ def _make_persistent_kernel(
                                 w_dx[pl.ds(wrow, 1), :] = dxr
                                 w_dy[pl.ds(wrow, 1), :] = dyr
                                 w_dz[pl.ds(wrow, 1), :] = dzr
-                                w_ix[pl.ds(wrow, 1), :] = 1.0 / dxr
-                                w_iy[pl.ds(wrow, 1), :] = 1.0 / dyr
-                                w_iz[pl.ds(wrow, 1), :] = 1.0 / dzr
+                                w_ix[pl.ds(wrow, 1), :] = _safe_inv(dxr)
+                                w_iy[pl.ds(wrow, 1), :] = _safe_inv(dyr)
+                                w_iz[pl.ds(wrow, 1), :] = _safe_inv(dzr)
                             if closest:
                                 inst_scr[pl.ds(k, 1), :] = jnp.full(
                                     (1, P_LANE), -1.0, jnp.float32
@@ -969,9 +986,9 @@ def _make_persistent_kernel(
                                 w_dx[pl.ds(wrow, 1), :] = d0
                                 w_dy[pl.ds(wrow, 1), :] = d1
                                 w_dz[pl.ds(wrow, 1), :] = d2
-                                w_ix[pl.ds(wrow, 1), :] = 1.0 / d0
-                                w_iy[pl.ds(wrow, 1), :] = 1.0 / d1
-                                w_iz[pl.ds(wrow, 1), :] = 1.0 / d2
+                                w_ix[pl.ds(wrow, 1), :] = _safe_inv(d0)
+                                w_iy[pl.ds(wrow, 1), :] = _safe_inv(d1)
+                                w_iz[pl.ds(wrow, 1), :] = _safe_inv(d2)
                             if closest:
                                 inst_scr[pl.ds(k, 1), :] = jnp.full(
                                     (1, P_LANE),
