@@ -387,16 +387,15 @@ def trace_path(
         state = sh.state
 
         # --- Two occlusion traversals, one per MIS branch, at full
-        # wavefront width. The light-branch rays inherit the per-bounce
-        # sort (origins in Morton order, directions converging on the
-        # light) so its packets are coherent; stacking the sparse,
-        # direction-incoherent bsdf-branch rays into the same call (the
-        # round-1 fused-2R form) would destroy that coherence. Compacting
-        # the sparse bsdf-branch mask to the front before its call was
-        # measured a net LOSS (+34 ms/frame on the textured hall): the
-        # persistent work-queue kernels already retire all-dead packets in
-        # ~1 iteration, so the stable-argsort + row gather + scatter cost
-        # more than the dead packets they removed.
+        # wavefront width. Measured round 3: stacking both branches into
+        # ONE 2R persistent call (VMEM-eligible via the any kernels'
+        # smaller ray-array footprint) is NEUTRAL on the textured hall
+        # (1032 vs 1022 ms/frame) — launch overhead inside the jitted
+        # frame is noise and traversal cost is visit-bound, while the 2R
+        # resident ray block doubles VMEM pressure. Host-side compaction
+        # of the sparse bsdf branch was also measured a loss (+34 ms: the
+        # argsort + gather + scatter cost more than the all-dead packets
+        # they removed, which retire in ~1 iteration anyway).
         occluded1 = trace_any(flat, hit_p, sh.light_dir, sh.light_dist, sh.shoot1)
         occluded2 = trace_any(flat, hit_p, sh.w_i2, sh.t_light, sh.shoot2)
         rays = (

@@ -702,7 +702,9 @@ def make_trace_fns(meta: SceneMeta):
             # grid fallback remains binary-only
             pbvh_a = flat.blas[mesh_id].any
             pbvh_c = flat.blas[mesh_id].closest
-            if _packet_enabled() and persistent_eligible(pbvh_a, o.shape[0]):
+            if _packet_enabled() and persistent_eligible(
+                pbvh_a, o.shape[0], closest=False
+            ):
                 occluded = occluded | traverse_any_persistent(
                     pbvh_a,
                     o,
@@ -712,7 +714,7 @@ def make_trace_fns(meta: SceneMeta):
                     inst_mask,
                 )
             elif _packet_enabled() and persistent_stream_eligible(
-                pbvh_a, o.shape[0]
+                pbvh_a, o.shape[0], closest=False
             ):
                 occluded = occluded | traverse_any_persistent(
                     pbvh_a,
@@ -754,7 +756,7 @@ def make_trace_fns(meta: SceneMeta):
         ubvh_bin = flat.blas[0].any
         if (
             _unified_persistent_enabled()
-            and unified_persistent_eligible(ubvh_bin, orig.shape[0])
+            and unified_persistent_eligible(ubvh_bin, orig.shape[0], closest=False)
         ):
             occ = traverse_any_unified_persistent(
                 ubvh_bin,
@@ -765,7 +767,7 @@ def make_trace_fns(meta: SceneMeta):
                 mask,
             )
         elif _unified_persistent_enabled() and persistent_stream_eligible(
-            ubvh_bin, orig.shape[0]
+            ubvh_bin, orig.shape[0], closest=False
         ):
             occ = traverse_any_unified_persistent(
                 ubvh_bin,

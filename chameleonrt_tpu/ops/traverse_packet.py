@@ -644,6 +644,7 @@ def _make_persistent_kernel(
     tlas_lo=0,
     stream_tables=False,
     arity=2,
+    merged=False,
 ):
     """Build the persistent work-queue traversal kernel body for one of the
     four (closest | any) x (flat | unified) variants — ONE parameterized
@@ -1002,7 +1003,7 @@ def _make_persistent_kernel(
                             _set1(cur_ref, k, roots_col[k, 0])
 
         def node_iter(state):
-            ndone, it = state
+            ndone, it, useful = state
             _fetch_rows(nodes_ref, nrow_scr, node_sem if stream_tables else None,
                         lambda c: c >= 0, lambda c: c)
             rows = nrow_scr[:]
@@ -1143,10 +1144,11 @@ def _make_persistent_kernel(
             if unified:
                 _restore_block(nrest)
 
-            return ndone, it + 1
+            useful = useful + jnp.sum(was_int.astype(jnp.int32))
+            return ndone, it + 1, useful
 
         def leaf_iter(state):
-            ndone, it = state
+            ndone, it, useful = state
             _fetch_rows(leafs_ref, lrow_scr, leaf_sem if stream_tables else None,
                         lambda c: jnp.logical_and(c < 0, c > _DONE),
                         lambda c: -c - 1)
@@ -1250,22 +1252,194 @@ def _make_persistent_kernel(
                 _entry_block(nent, lrows, roots_col, insts_col)
                 _restore_block(nrest)
 
-            return ndone, it + 1
+            useful = useful + jnp.sum(at_leaf.astype(jnp.int32))
+            return ndone, it + 1, useful
 
-        init = (jnp.int32(0), jnp.int32(0))  # (packets retired, iterations)
+        def merged_iter(state):
+            """Merged node+leaf phase (flat kernels): EVERY slot advances
+            one tree step per iteration — int slots fetch their node row
+            and slab-descend, leaf slots fetch their leaf row and
+            MT-then-pop — eliminating the phase-idle tax (measured 35-39%
+            of slot-steps idle under phase alternation on the hall
+            wavefronts: slots parked at the opposite phase's state).
+            Leaf work runs FIRST so the slab t_cap sees this iteration's
+            best-t improvements. MT on stale/foreign cached rows is safe
+            for the same reason the leaf phase has always run unguarded:
+            in the flat kernels all rows are same-space real triangles,
+            and closest/any state only improves monotonically (strict
+            t decrease / sticky OR) on genuine in-range intersections."""
+            ndone, it, useful = state
+            _fetch_rows(nodes_ref, nrow_scr, node_sem if stream_tables else None,
+                        lambda c: c >= 0, lambda c: c)
+            _fetch_rows(leafs_ref, lrow_scr, leaf_sem if stream_tables else None,
+                        lambda c: jnp.logical_and(c < 0, c > _DONE),
+                        lambda c: -c - 1)
+            rows = nrow_scr[:]
+            lrows = lrow_scr[:]
+            ox, oy, oz = w_ox[:], w_oy[:], w_oz[:]
+            dxv, dyv, dzv = w_dx[:], w_dy[:], w_dz[:]
+            ix, iy, iz = w_ix[:], w_iy[:], w_iz[:]
+            t_min = w_tmin[:]
+
+            # --- leaf work (all slots, idempotent on stale rows)
+            if closest:
+                best_t = bt_scr[:]
+                best_prim = bp_scr[:]
+                best_u = bu_scr[:]
+                best_v = bv_scr[:]
+                hits, ts, us, vs, prims = _mt(
+                    lrows, L, p_sub, ox, oy, oz, dxv, dyv, dzv, t_min, best_t
+                )
+                for j in range(L):
+                    take_j = hits[j] & (ts[j] < best_t)
+                    best_t = jnp.where(take_j, ts[j], best_t)
+                    best_prim = jnp.where(take_j, prims[j], best_prim)
+                    best_u = jnp.where(take_j, us[j], best_u)
+                    best_v = jnp.where(take_j, vs[j], best_v)
+                bt_scr[:] = best_t
+                bp_scr[:] = best_prim
+                bu_scr[:] = best_u
+                bv_scr[:] = best_v
+                t_cap = best_t
+            else:
+                occ = occ_scr[:]
+                hits, _, _, _, _ = _mt(
+                    lrows, L, p_sub, ox, oy, oz, dxv, dyv, dzv, t_min, w_tmax[:]
+                )
+                newly = hits[0]
+                for j in range(1, L):
+                    newly = newly | hits[j]
+                occ = jnp.maximum(occ, jnp.where(newly, 1.0, 0.0))
+                occ_scr[:] = occ
+                t_cap = jnp.where(occ > 0.0, -_BIG, w_tmax[:])
+
+            # --- node work (int slots; leaf slots' garbage is masked off)
+            ch_hit = []
+            ch_ent = []
+            for c in range(arity):
+                hc, ec = _slab(
+                    rows, 6 * c, p_sub, ox, oy, oz, ix, iy, iz, t_min, t_cap
+                )
+                ch_hit.append(
+                    _packet_reduce_max(jnp.where(hc, 1.0, 0.0), p_sub).reshape(
+                        K, 1
+                    )
+                    > 0.0
+                )
+                if closest:
+                    ch_ent.append(
+                        _packet_reduce_min(
+                            jnp.where(hc, ec, _BIG), p_sub
+                        ).reshape(K, 1)
+                    )
+            codes = [
+                pltpu.bitcast(
+                    rows[:, 6 * arity + c : 6 * arity + c + 1], jnp.int32
+                )
+                for c in range(arity)
+            ]
+
+            # --- combined vectorized stepping
+            cur = cur_ref[:]
+            sp = sp_ref[:]
+            was_int = cur >= 0
+            at_leaf = (cur < 0) & (cur > _DONE)
+            stepped = was_int | at_leaf
+            if not closest:
+                early = _packet_reduce_min(occ, p_sub).reshape(K, 1) > 0.0
+            if closest:
+                keys = [jnp.where(ch_hit[c], ch_ent[c], _BIG) for c in range(arity)]
+                kcodes = list(codes)
+
+                def _cswap(i, j):
+                    swap = keys[i] > keys[j]
+                    keys[i], keys[j] = (
+                        jnp.where(swap, keys[j], keys[i]),
+                        jnp.where(swap, keys[i], keys[j]),
+                    )
+                    kcodes[i], kcodes[j] = (
+                        jnp.where(swap, kcodes[j], kcodes[i]),
+                        jnp.where(swap, kcodes[i], kcodes[j]),
+                    )
+
+                for i, j in _SORT_NETS[arity]:
+                    _cswap(i, j)
+                best_hit = keys[0] < _BIG
+                best_code = kcodes[0]
+                sp2 = sp
+                for c in range(arity - 1, 0, -1):
+                    pm = (keys[c] < _BIG) & was_int
+                    stack_ref[:] = jnp.where(
+                        (iota_cols == sp2) & pm, kcodes[c], stack_ref[:]
+                    )
+                    sp2 = sp2 + pm.astype(jnp.int32)
+            else:
+                best_hit = ch_hit[0]
+                best_code = codes[0]
+                best_i = jnp.zeros((K, 1), jnp.int32)
+                for c in range(1, arity):
+                    better = ch_hit[c] & jnp.logical_not(best_hit)
+                    best_code = jnp.where(better, codes[c], best_code)
+                    best_i = jnp.where(better, c, best_i)
+                    best_hit = best_hit | ch_hit[c]
+                sp2 = sp
+                for c in range(arity):
+                    pm = ch_hit[c] & was_int & (best_i != c)
+                    stack_ref[:] = jnp.where(
+                        (iota_cols == sp2) & pm, codes[c], stack_ref[:]
+                    )
+                    sp2 = sp2 + pm.astype(jnp.int32)
+            # pop: int slots with no hit child, and every leaf slot
+            want_pop = (was_int & jnp.logical_not(best_hit)) | at_leaf
+            if not closest:
+                want_pop = want_pop & jnp.logical_not(early)
+            can_pop = want_pop & (sp2 > 0)
+            spm = jnp.maximum(sp2 - 1, 0)
+            popped = jnp.sum(
+                jnp.where(iota_cols == spm, stack_ref[:], 0),
+                axis=1,
+                keepdims=True,
+            )
+            nxt = jnp.where(
+                was_int & best_hit,
+                best_code,
+                jnp.where(can_pop, popped, _DONE),
+            )
+            nxt = jnp.where(stepped, nxt, cur)
+            if not closest:
+                nxt = jnp.where(stepped & early, _DONE, nxt)
+            retired = stepped & (nxt == _DONE)
+            nret = jnp.sum(retired.astype(jnp.int32))
+            ndone = ndone + nret
+            cur_ref[:] = jnp.where(retired, _RETIRE, nxt)
+            sp_ref[:] = jnp.where(can_pop, spm, sp2)
+            _swap_block(nret)
+
+            useful = useful + jnp.sum(stepped.astype(jnp.int32))
+            return ndone, it + 1, useful
+
+        # (packets retired, iterations, useful slot-steps) — the third
+        # term counts slots actually advanced per phase; iterations*K
+        # minus it is the phase-idle tax (see it_out row 1)
+        init = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
 
         def cond(state):
             return state[0] < n_packets
 
-        def body(state):
-            cur = cur_ref[:]
-            n_int = jnp.sum((cur >= 0).astype(jnp.int32))
-            n_leaf = jnp.sum(((cur < 0) & (cur > _DONE)).astype(jnp.int32))
-            do_leaf = jnp.logical_or(n_leaf >= leaf_thresh, n_int == 0)
-            return jax.lax.cond(do_leaf, leaf_iter, node_iter, state)
+        if merged and not unified:
+            body = merged_iter
+        else:
 
-        _, it = jax.lax.while_loop(cond, body, init)
-        it_out[:] = jnp.full((8, P_LANE), it, jnp.int32)
+            def body(state):
+                cur = cur_ref[:]
+                n_int = jnp.sum((cur >= 0).astype(jnp.int32))
+                n_leaf = jnp.sum(((cur < 0) & (cur > _DONE)).astype(jnp.int32))
+                do_leaf = jnp.logical_or(n_leaf >= leaf_thresh, n_int == 0)
+                return jax.lax.cond(do_leaf, leaf_iter, node_iter, state)
+
+        _, it, useful = jax.lax.while_loop(cond, body, init)
+        out_col = jax.lax.broadcasted_iota(jnp.int32, (8, P_LANE), 0)
+        it_out[:] = jnp.where(out_col == 1, useful, it)
 
     return kernel
 
@@ -1390,10 +1564,12 @@ def _any_unified_call_persistent(
     )(nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax)
 
 
-def unified_persistent_eligible(ubvh, n_rays: int, p_sub: int = DEFAULT_P_SUB) -> bool:
+def unified_persistent_eligible(
+    ubvh, n_rays: int, p_sub: int = DEFAULT_P_SUB, closest: bool = True
+) -> bool:
     """Gate for the unified persistent kernels: binary or BVH4 rows,
     builder-certified stack bound, and tables + resident rays/outputs
-    within the VMEM budget."""
+    (_ray_arrays: mode-dependent) within the VMEM budget."""
     if (
         ubvh.arity not in (2, 4, 8)
         or ubvh.stack_bound is None
@@ -1401,7 +1577,7 @@ def unified_persistent_eligible(ubvh, n_rays: int, p_sub: int = DEFAULT_P_SUB) -
     ):
         return False
     n_packets = max(1, -(-n_rays // (p_sub * P_LANE)))
-    ray_bytes = 13 * n_packets * p_sub * P_LANE * 4
+    ray_bytes = _ray_arrays(closest, True) * n_packets * p_sub * P_LANE * 4
     table_bytes = (ubvh.nodes.size + ubvh.leaf_rows.size) * 4
     scratch = 18 * K * p_sub * P_LANE * 4
     return table_bytes + ray_bytes + scratch <= VMEM_TABLE_BUDGET
@@ -1502,13 +1678,13 @@ def _unpack_rays_pm(y, R):
     jax.jit,
     static_argnames=(
         "L", "depth", "n_packets", "p_sub", "kk", "lt", "stream", "arity",
-        "interpret",
+        "interpret", "merged",
     ),
 )
 def _closest_call_persistent(
     nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax,
     *, L, depth, n_packets, p_sub, kk=None, lt=None, stream=False, arity=2,
-    interpret=False,
+    interpret=False, merged=False,
 ):
     kk = K if kk is None else kk
     lt = LEAF_THRESH if lt is None else lt
@@ -1522,6 +1698,7 @@ def _closest_call_persistent(
         _make_persistent_kernel(
             closest=True, unified=False, L=L, depth=depth, p_sub=p_sub,
             n_packets=n_packets, kk=kk, leaf_thresh=lt, stream_tables=stream, arity=arity,
+            merged=merged,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM)
@@ -1561,13 +1738,13 @@ def _closest_call_persistent(
     jax.jit,
     static_argnames=(
         "L", "depth", "n_packets", "p_sub", "kk", "lt", "stream", "arity",
-        "interpret",
+        "interpret", "merged",
     ),
 )
 def _any_call_persistent(
     nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax,
     *, L, depth, n_packets, p_sub, kk=None, lt=None, stream=False, arity=2,
-    interpret=False,
+    interpret=False, merged=False,
 ):
     kk = K if kk is None else kk
     lt = LEAF_THRESH if lt is None else lt
@@ -1580,6 +1757,7 @@ def _any_call_persistent(
         _make_persistent_kernel(
             closest=False, unified=False, L=L, depth=depth, p_sub=p_sub,
             n_packets=n_packets, kk=kk, leaf_thresh=lt, stream_tables=stream, arity=arity,
+            merged=merged,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM)
@@ -1609,13 +1787,25 @@ def _any_call_persistent(
     )(nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax)
 
 
+def _merged_phase_default() -> bool:
+    """Merged node+leaf phase for the FLAT persistent kernels (every slot
+    advances every iteration; see _make_persistent_kernel.merged_iter).
+    Env CHAMELEONRT_MERGED_PHASE=0/1 overrides."""
+    ov = _os.environ.get("CHAMELEONRT_MERGED_PHASE")
+    if ov is not None:
+        return ov not in ("0", "false", "off")
+    return False
+
+
 def traverse_closest_persistent(
     pbvh: PackedBvh, orig, dir, t_min, active, t_max=None,
     interpret=False, return_iters=False, p_sub=DEFAULT_P_SUB,
-    k_slots=None, leaf_thresh=None, stream=False,
+    k_slots=None, leaf_thresh=None, stream=False, merged=None,
 ):
     """Work-queue persistent closest-hit traversal. Same contract as
     traverse_closest_packet."""
+    if merged is None:
+        merged = _merged_phase_default()
     R = orig.shape[0]
     n_packets = max(1, -(-R // (p_sub * P_LANE)))
     ox = _pack_rays_pm(jnp.where(active, orig[:, 0], _BIG), n_packets, p_sub, _BIG)
@@ -1634,10 +1824,11 @@ def traverse_closest_persistent(
         pbvh.nodes, pbvh.leaf_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
         L=pbvh.leaf_size, depth=depth, n_packets=n_packets, p_sub=p_sub,
         kk=k_slots, lt=leaf_thresh, stream=stream, arity=pbvh.arity,
-        interpret=interpret,
+        interpret=interpret, merged=merged,
     )
     if return_iters:
-        return iters[0, 0]
+        # (iterations, useful slot-steps) — see the kernel's it_out layout
+        return iters[0, 0], iters[1, 0]
     t = _unpack_rays_pm(t, R)
     prim = _unpack_rays_pm(prim, R)
     u = _unpack_rays_pm(u, R)
@@ -1654,10 +1845,12 @@ def traverse_closest_persistent(
 def traverse_any_persistent(
     pbvh: PackedBvh, orig, dir, t_min, t_max, mask,
     interpret=False, return_iters=False, p_sub=DEFAULT_P_SUB,
-    k_slots=None, leaf_thresh=None, stream=False,
+    k_slots=None, leaf_thresh=None, stream=False, merged=None,
 ):
     """Work-queue persistent any-hit traversal. Same contract as
     traverse_any_packet."""
+    if merged is None:
+        merged = _merged_phase_default()
     R = orig.shape[0]
     n_packets = max(1, -(-R // (p_sub * P_LANE)))
     ox = _pack_rays_pm(jnp.where(mask, orig[:, 0], _BIG), n_packets, p_sub, _BIG)
@@ -1676,10 +1869,11 @@ def traverse_any_persistent(
         pbvh.nodes, pbvh.leaf_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
         L=pbvh.leaf_size, depth=depth, n_packets=n_packets, p_sub=p_sub,
         kk=k_slots, lt=leaf_thresh, stream=stream, arity=pbvh.arity,
-        interpret=interpret,
+        interpret=interpret, merged=merged,
     )
     if return_iters:
-        return iters[0, 0]
+        # (iterations, useful slot-steps) — see the kernel's it_out layout
+        return iters[0, 0], iters[1, 0]
     return _unpack_rays_pm(occ, R) & mask
 
 
@@ -1688,7 +1882,20 @@ def traverse_any_persistent(
 VMEM_TABLE_BUDGET = 88 * 1024 * 1024
 
 
-def persistent_stream_eligible(pbvh, n_rays: int, p_sub: int = DEFAULT_P_SUB) -> bool:
+def _ray_arrays(closest: bool, unified: bool = False) -> int:
+    """Count of n_packets-sized VMEM arrays a persistent kernel holds:
+    8 ray inputs (o, d, tmin, tmax) plus the mode's outputs — closest
+    t/prim/u/v (+inst on unified), any just the occlusion mask. The any
+    kernels' smaller footprint is what lets a stacked 2R occlusion
+    wavefront (both MIS branches in one call) fit the VMEM budget."""
+    if closest:
+        return 13 if unified else 12
+    return 9
+
+
+def persistent_stream_eligible(
+    pbvh, n_rays: int, p_sub: int = DEFAULT_P_SUB, closest: bool = True
+) -> bool:
     """Gate for the DMA-streamed persistent kernels: node/leaf tables stay
     in HBM (any scene size), only rays, outputs and slot scratch must fit
     VMEM. The fall-through tier when persistent_eligible's table budget is
@@ -1703,7 +1910,7 @@ def persistent_stream_eligible(pbvh, n_rays: int, p_sub: int = DEFAULT_P_SUB) ->
     if bound is None:
         return False
     n_packets = max(1, -(-n_rays // (p_sub * P_LANE)))
-    ray_bytes = 13 * n_packets * p_sub * P_LANE * 4
+    ray_bytes = _ray_arrays(closest, True) * n_packets * p_sub * P_LANE * 4
     scratch = 18 * K * p_sub * P_LANE * 4
     return ray_bytes + scratch <= VMEM_TABLE_BUDGET
 
@@ -1719,16 +1926,19 @@ def packet_eligible(pbvh: PackedBvh) -> bool:
     return table_bytes <= VMEM_TABLE_BUDGET
 
 
-def persistent_eligible(pbvh: PackedBvh, n_rays: int, p_sub: int = DEFAULT_P_SUB) -> bool:
+def persistent_eligible(
+    pbvh: PackedBvh, n_rays: int, p_sub: int = DEFAULT_P_SUB, closest: bool = True
+) -> bool:
     """The persistent kernels additionally keep ALL ray fields (8) and
-    outputs (4) resident in VMEM next to the tables; gate on the combined
-    footprint. Measured ~2x over the grid kernels on the hall wavefronts
-    (b0 160->79 ms, b1 365->209 ms) because slots pull fresh packets from
-    the queue instead of idling on the group barrier."""
+    the mode's outputs (_ray_arrays) resident in VMEM next to the tables;
+    gate on the combined footprint. Measured ~2x over the grid kernels on
+    the hall wavefronts (b0 160->79 ms, b1 365->209 ms) because slots
+    pull fresh packets from the queue instead of idling on the group
+    barrier."""
     if not packet_eligible(pbvh):
         return False
     n_packets = max(1, -(-n_rays // (p_sub * P_LANE)))
-    ray_bytes = 12 * n_packets * p_sub * P_LANE * 4
+    ray_bytes = _ray_arrays(closest) * n_packets * p_sub * P_LANE * 4
     table_bytes = (pbvh.nodes.size + pbvh.leaf_rows.size) * 4
     scratch = 16 * K * p_sub * P_LANE * 4
     return table_bytes + ray_bytes + scratch <= VMEM_TABLE_BUDGET

@@ -138,13 +138,13 @@ def main() -> int:
     print("\n| call | ms | iters |", flush=True)
     for b, w in enumerate(closest_w):
         t = bench(run_closest, w) * 1e3
-        it = int(run_closest(w, return_iters=True))
+        it = int(run_closest(w, return_iters=True)[0])
         total += t
         print(f"| closest b{b} | {t:.1f} | {it} |", flush=True)
     for w in any_w:
         o, dd, tmx, m, label = w
         t = bench(run_any, (o, dd, tmx, m)) * 1e3
-        it = int(run_any((o, dd, tmx, m), return_iters=True))
+        it = int(run_any((o, dd, tmx, m), return_iters=True)[0])
         total += t
         print(f"| any {label} | {t:.1f} | {it} |", flush=True)
     print(f"| TOTAL traversal | {total:.1f} | |", flush=True)
@@ -168,7 +168,7 @@ def main() -> int:
                     try:
                         if kind == "c":
                             t = bench(run_closest, w, **kw) * 1e3
-                            it = int(run_closest(w, return_iters=True, **kw))
+                            it = int(run_closest(w, return_iters=True, **kw)[0])
                         else:
                             t = bench(run_any, w, **kw) * 1e3
                             it = int(run_any(w, return_iters=True, **kw))

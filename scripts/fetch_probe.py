@@ -87,12 +87,8 @@ def main() -> int:
 
     variants = []
     for label, kw in (
-        ("lt=16 (default)", dict()),
-        ("lt=8", dict(leaf_thresh=8)),
-        ("lt=24", dict(leaf_thresh=24)),
-        ("lt=32", dict(leaf_thresh=32)),
-        ("lt=48", dict(leaf_thresh=48)),
-        ("lt=64", dict(leaf_thresh=64)),
+        ("vmem K=64 ps=2", dict()),
+        ("merged-phase", dict(merged=True)),
     ):
         variants.append((label, kw))
 

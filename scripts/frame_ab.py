@@ -117,6 +117,46 @@ def main() -> int:
     print(f"\nclosest total  = {full - results['no closest (stub)']:.1f} ms")
     print(f"any total      = {full - results['no any (stub)']:.1f} ms")
     print(f"non-traversal  = {results['no traversal at all']:.1f} ms (incl floor {floor*1e3:.1f})")
+
+    # ---- decompose the non-traversal remainder: texture cost (same frame
+    # on the untextured twin scene) and the per-bounce machinery slope
+    # (stub frame at MAX_PATH_DEPTH 1 vs 5)
+    if "textured=1" in url:
+        from chameleonrt_tpu.engine.trace_bvh import build_blas_set as _bb
+        scene_u = load_scene(url.replace("textured=1", "textured=0"))
+        flat_u, meta_u, host_u = build_device_scene(scene_u, want_host=True)
+        flat_u = flat_u._replace(blas=build_blas_set(flat_u, meta_u, host_u))
+
+        @jax.jit
+        def stub_frame_u(flat_):
+            illum, _ = path_tracer.render_pixels(
+                flat_, meta_u, fake_closest, fake_any, view, np.uint32(0),
+                px, py, W, H, 1,
+            )
+            return illum
+
+        t_u = bench(stub_frame_u, flat_u) * 1e3
+        print(f"stub frame untextured    {t_u:8.1f} ms  (texture cost ~= "
+              f"{results['no traversal at all'] - t_u:.1f})", flush=True)
+
+    import chameleonrt_tpu.ops.math as math_ops
+    saved = math_ops.MAX_PATH_DEPTH
+    try:
+        path_tracer.MAX_PATH_DEPTH = 1
+
+        @jax.jit
+        def stub_frame_b1(flat_):
+            illum, _ = path_tracer.render_pixels(
+                flat_, meta, fake_closest, fake_any, view, np.uint32(0),
+                px, py, W, H, 1,
+            )
+            return illum
+
+        t_b1 = bench(stub_frame_b1, flat) * 1e3
+        print(f"stub frame 1 bounce      {t_b1:8.1f} ms  (per-bounce ~= "
+              f"{(results['no traversal at all'] - t_b1) / 4:.1f})", flush=True)
+    finally:
+        path_tracer.MAX_PATH_DEPTH = saved
     return 0
 
 

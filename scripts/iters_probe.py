@@ -48,7 +48,7 @@ def main() -> int:
     orig, dirs = orig[perm], dirs[perm]
 
     gi = np.asarray(tp.traverse_closest_packet(pbvh, orig, dirs, t_min, active, return_iters=True))
-    pi = int(np.asarray(tp.traverse_closest_persistent(pbvh, orig, dirs, t_min, active, return_iters=True)))
+    pi = int(np.asarray(tp.traverse_closest_persistent(pbvh, orig, dirs, t_min, active, return_iters=True)[0]))
     print(f"b0: grid sum {int(gi.sum())} (groups min {gi.min()} max {gi.max()}) | persistent {pi}", flush=True)
 
     t, prim, _, _ = tp.traverse_closest_packet(pbvh, orig, dirs, t_min, active)
@@ -72,7 +72,7 @@ def main() -> int:
     tmin2 = jnp.full((R,), 1e-4, jnp.float32)
 
     gi = np.asarray(tp.traverse_closest_packet(pbvh, hp_s, bd_s, tmin2, mask_s, return_iters=True))
-    pi = int(np.asarray(tp.traverse_closest_persistent(pbvh, hp_s, bd_s, tmin2, mask_s, return_iters=True)))
+    pi = int(np.asarray(tp.traverse_closest_persistent(pbvh, hp_s, bd_s, tmin2, mask_s, return_iters=True)[0]))
     print(f"b1: grid sum {int(gi.sum())} (groups min {gi.min()} max {gi.max()}) | persistent {pi}", flush=True)
     return 0
 

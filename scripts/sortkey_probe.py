@@ -136,7 +136,7 @@ def main() -> int:
         a1 = jnp.asarray(a1n[p])
         tmn = jnp.full((R,), 1e-4, jnp.float32)
         iters = int(
-            tp.traverse_closest_persistent(pbvh, o1, d1, tmn, a1, return_iters=True)
+            tp.traverse_closest_persistent(pbvh, o1, d1, tmn, a1, return_iters=True)[0]
         )
         fn = jax.jit(
             lambda o1=o1, d1=d1, a1=a1: tp.traverse_closest_persistent(
