@@ -753,22 +753,40 @@ def _make_persistent_kernel(
             the K fetch latencies overlap (~one HBM round trip per
             iteration instead of K serialized ones) — this is what breaks
             the 88 MiB VMEM table wall for Rungholt-class scenes
-            (VERDICT r2 missing #2)."""
+            (VERDICT r2 missing #2).
+
+            FLAT kernels fetch UNCONDITIONALLY with a clamped row index
+            (no per-slot pl.when): all rows live in one ray space, so a
+            slot at the wrong phase just caches an arbitrary same-space
+            row — the node row is masked off by was_int in the stepping,
+            and a stale/arbitrary leaf row only adds Moller-Trumbore
+            tests of REAL triangles, whose genuine in-range hits are
+            always valid for closest (strict t decrease) and any (sticky
+            OR). The UNIFIED kernels MUST keep the guards: an arbitrary
+            leaf row may be object-space while the slot's rays are
+            world-space — exactly the round-2 stale-row divergence class
+            (ADVICE r2 #1)."""
             if not stream_tables:
                 # CHAMELEONRT_KERNEL_X2=fetch doubles every row copy (ref
                 # stores survive DCE, control flow unchanged): the marginal
                 # t/iteration vs the default run measures the serialized
                 # fetch loop's true share of the iteration (perf probe).
                 reps = 2 if _os.environ.get("CHAMELEONRT_KERNEL_X2") == "fetch" else 1
+                n_rows = src_ref.shape[0]
                 for k in range(K):
                     c = cur_ref[k, 0]
+                    if unified:
 
-                    @pl.when(cond_fn(c))
-                    def _(k=k, c=c):
+                        @pl.when(cond_fn(c))
+                        def _(k=k, c=c):
+                            for _r in range(reps):
+                                dst_scr[pl.ds(k, 1), :] = src_ref[
+                                    pl.ds(row_of(c), 1), :
+                                ]
+                    else:
+                        r = jnp.clip(row_of(c), 0, n_rows - 1)
                         for _r in range(reps):
-                            dst_scr[pl.ds(k, 1), :] = src_ref[
-                                pl.ds(row_of(c), 1), :
-                            ]
+                            dst_scr[pl.ds(k, 1), :] = src_ref[pl.ds(r, 1), :]
                 return
             for k in range(K):
                 c = cur_ref[k, 0]
