@@ -365,11 +365,14 @@ def trace_path(
     rays = jnp.int32(0)
     t_min = jnp.float32(0.0)
 
-    def bounce_body(bounce, carry):
+    def bounce_body(bounce, carry, do_sort=True):
         state, orig, dir, t_min, throughput, illum, active, lane_pixel, rays = carry
-        state, orig, dir, throughput, illum, active, lane_pixel = _sort_wavefront(
-            state, orig, dir, throughput, illum, active, lane_pixel
-        )
+        if do_sort:
+            state, orig, dir, throughput, illum, active, lane_pixel = (
+                _sort_wavefront(
+                    state, orig, dir, throughput, illum, active, lane_pixel
+                )
+            )
         hit = trace_closest(flat, orig, dir, t_min, active)
         rays = rays + active.astype(jnp.int32).sum()
 
@@ -416,7 +419,24 @@ def trace_path(
         return state, orig, dir, t_min, throughput, illum, active, lane_pixel, rays
 
     carry = (state, orig, dir, t_min, throughput, illum, active, lane_pixel, rays)
-    carry = jax.lax.fori_loop(0, MAX_PATH_DEPTH, bounce_body, carry)
+    import os
+
+    unroll = os.environ.get("CHAMELEONRT_UNROLL_BOUNCES", "0") not in (
+        "0", "false", "off",
+    )
+    sort_mode = os.environ.get("CHAMELEONRT_BOUNCE_SORT", "all")
+    if unroll:
+        # Python-unrolled bounce loop: no fori_loop carry boundaries (XLA
+        # may fuse across bounces) and bounce-static structure — e.g.
+        # CHAMELEONRT_BOUNCE_SORT=first keeps only the bounce-0 sort (the
+        # image-order -> Morton one) and lets later bounces ride the
+        # inherited order. Perf experiment knobs; default loop is fori.
+        for bounce in range(MAX_PATH_DEPTH):
+            carry = bounce_body(
+                bounce, carry, do_sort=(sort_mode == "all" or bounce == 0)
+            )
+    else:
+        carry = jax.lax.fori_loop(0, MAX_PATH_DEPTH, bounce_body, carry)
     state, _, _, _, _, illum, _, lane_pixel, rays = carry
     return state, illum, lane_pixel, rays
 

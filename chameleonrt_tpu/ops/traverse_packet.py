@@ -746,7 +746,7 @@ def _make_persistent_kernel(
         def _set1(ref, k, val, dtype=jnp.int32):
             ref[pl.ds(k, 1), :] = jnp.full((1, 1), val, dtype)
 
-        def _fetch_rows(src_ref, dst_scr, sem, cond_fn, row_of):
+        def _fetch_rows(src_ref, dst_scr, sem, cond_fn, row_of, uncond=None):
             """Per-slot row fetch from the node/leaf table. VMEM tables:
             direct scalar-indexed dynamic-slice copies. Streamed (HBM)
             tables: K async DMAs issued together, then waited together, so
@@ -766,6 +766,8 @@ def _make_persistent_kernel(
             leaf row may be object-space while the slot's rays are
             world-space — exactly the round-2 stale-row divergence class
             (ADVICE r2 #1)."""
+            if uncond is None:
+                uncond = not unified
             if not stream_tables:
                 # CHAMELEONRT_KERNEL_X2=fetch doubles every row copy (ref
                 # stores survive DCE, control flow unchanged): the marginal
@@ -775,7 +777,7 @@ def _make_persistent_kernel(
                 n_rows = src_ref.shape[0]
                 for k in range(K):
                     c = cur_ref[k, 0]
-                    if unified:
+                    if not uncond:
 
                         @pl.when(cond_fn(c))
                         def _(k=k, c=c):
@@ -1022,8 +1024,12 @@ def _make_persistent_kernel(
 
         def node_iter(state):
             ndone, it, useful = state
+            # node rows are ALWAYS safe to fetch unconditionally (clamped):
+            # a wrong-phase or wrong-space row only feeds slab results that
+            # the was_int mask discards — unlike leaf rows, whose unguarded
+            # MT makes cross-space rows dangerous on the unified layouts
             _fetch_rows(nodes_ref, nrow_scr, node_sem if stream_tables else None,
-                        lambda c: c >= 0, lambda c: c)
+                        lambda c: c >= 0, lambda c: c, uncond=not stream_tables)
             rows = nrow_scr[:]
             ox, oy, oz = w_ox[:], w_oy[:], w_oz[:]
             ix, iy, iz = w_ix[:], w_iy[:], w_iz[:]
