@@ -40,12 +40,21 @@ def main(argv):
     b = get_backend(backend_name)
     b.initialize(res, res)
     b.set_scene(scene)
-    cam = scene.cameras[0]
-    d = cam.center - cam.position
+    if scene.cameras:
+        cam = scene.cameras[0]
+        pos, center, up, fov = cam.position, cam.center, cam.up, cam.fov_y
+    else:
+        # camera-less formats (OBJ): the CLI default view,
+        # eye=(0,0,5) center=origin up=+y fov=65
+        pos = np.array([0.0, 1.0, 5.0], np.float32)
+        center = np.zeros(3, np.float32)
+        up = np.array([0.0, 1.0, 0.0], np.float32)
+        fov = 65.0
+    d = center - pos
     d = d / np.linalg.norm(d)
     for i in range(n_frames):
         b.render(
-            cam.position, d, cam.up, cam.fov_y, i == 0,
+            pos, d, up, fov, i == 0,
             readback_framebuffer=(i == n_frames - 1),
         )
     np.savez(

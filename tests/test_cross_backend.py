@@ -74,3 +74,74 @@ def test_tpu_matches_reference_textured_image(tmp_path):
     assert int(zref["n_materials"]) >= 16 and int(zref["n_textures"]) >= 8
     img_tpu, acc_tpu, _ = render_frames("tpu", uri, 144, 4, tmpdir=str(tmp_path))
     _assert_images_match(img_ref, img_tpu, acc_ref, acc_tpu)
+
+
+def test_tpu_matches_reference_obj_file(tmp_path):
+    """Loaded-format oracle check: a scene that goes through the OBJ+MTL
+    FILE path (parse -> remap -> MTL->Disney -> generated light,
+    scene/obj_loader.py) renders identically on both backends — the
+    reference's `-validation` runs on loaded files, not procedural
+    scenes (main.cpp:154-155)."""
+    obj = """
+mtllib s.mtl
+o floor
+usemtl gray
+v -2 0 -2
+v 2 0 -2
+v 2 0 2
+v -2 0 2
+f 1 2 3 4
+o backwall
+usemtl red
+v -2 0 -2
+v -2 2 -2
+v 2 2 -2
+v 2 0 -2
+f 5 6 7 8
+o block
+usemtl green
+v -0.6 0 -0.6
+v 0.6 0 -0.6
+v 0.6 0.9 -0.6
+v -0.6 0.9 -0.6
+v -0.6 0 0.6
+v 0.6 0 0.6
+v 0.6 0.9 0.6
+v -0.6 0.9 0.6
+f 9 10 11 12
+f 13 14 15 16
+f 9 13 16 12
+f 10 14 15 11
+f 12 11 15 16
+"""
+    mtl = """
+newmtl gray
+Kd 0.7 0.7 0.7
+newmtl red
+Kd 0.8 0.1 0.1
+newmtl green
+Kd 0.1 0.8 0.1
+Ns 40
+"""
+    (tmp_path / "s.obj").write_text(obj)
+    (tmp_path / "s.mtl").write_text(mtl)
+    uri = str(tmp_path / "s.obj")
+    img_ref, acc_ref, _ = render_frames("reference", uri, 64, 2, tmpdir=str(tmp_path))
+    img_tpu, acc_tpu, _ = render_frames("tpu", uri, 64, 2, tmpdir=str(tmp_path))
+    _assert_images_match(img_ref, img_tpu, acc_ref, acc_tpu)
+
+
+def test_tpu_matches_reference_gltf_file(tmp_path):
+    """Loaded-format oracle check through the glTF/GLB FILE path
+    (accessors -> flatten -> pbrMetallicRoughness -> generated light,
+    scene/gltf_loader.py), including a textured base color."""
+    from tests.test_gltf import make_quad_gltf
+
+    path = make_quad_gltf(tmp_path, glb=True, with_texture=True)
+    img_ref, acc_ref, _ = render_frames(
+        "reference", str(path), 64, 2, tmpdir=str(tmp_path)
+    )
+    img_tpu, acc_tpu, _ = render_frames(
+        "tpu", str(path), 64, 2, tmpdir=str(tmp_path)
+    )
+    _assert_images_match(img_ref, img_tpu, acc_ref, acc_tpu)
