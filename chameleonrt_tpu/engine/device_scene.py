@@ -119,6 +119,7 @@ def build_device_scene(scene: Scene, want_host: bool = False):
     geom_slots = []
     mesh_ranges = []
     start = 0
+    any_uvs = False
     for mesh in scene.meshes:
         count = 0
         for gi, geom in enumerate(mesh.geometries):
@@ -131,6 +132,7 @@ def build_device_scene(scene: Scene, want_host: bool = False):
             e1s.append(b - a)
             e2s.append(c - a)
             if geom.uvs is not None:
+                any_uvs = True
                 uv = geom.uvs
                 uv0s.append(uv[idx[:, 0]])
                 uv1s.append(uv[idx[:, 1]])
@@ -154,12 +156,24 @@ def build_device_scene(scene: Scene, want_host: bool = False):
     tri_v0 = cat(v0s, 3)
     tri_e1 = cat(e1s, 3)
     tri_e2 = cat(e2s, 3)
-    tri_uv0 = cat(uv0s, 2)
-    tri_uv1 = cat(uv1s, 2)
-    tri_uv2 = cat(uv2s, 2)
     tri_geom_slot = (
         np.concatenate(geom_slots) if geom_slots else np.zeros(0, np.int32)
     ).astype(np.int32)
+
+    # Upload each triangle column ONCE; everything derivable (the fused
+    # shade rows below) is assembled on device from these. At Rungholt
+    # scale the host-side (T, 32) shade-row build + upload was 858 MB and
+    # the single biggest set_scene cost (~60 s through the axon tunnel).
+    d_v0 = jnp.asarray(tri_v0)
+    d_e1 = jnp.asarray(tri_e1)
+    d_e2 = jnp.asarray(tri_e2)
+    d_geom_slot = jnp.asarray(tri_geom_slot)
+    if any_uvs:
+        d_uv0 = jnp.asarray(cat(uv0s, 2))
+        d_uv1 = jnp.asarray(cat(uv1s, 2))
+        d_uv2 = jnp.asarray(cat(uv2s, 2))
+    else:  # all-zero UVs: generate on device, never ship 3x(T,2) zeros
+        d_uv0 = d_uv1 = d_uv2 = jnp.zeros((num_tris, 2), jnp.float32)
 
     # Instances
     n_inst = len(scene.instances)
@@ -260,32 +274,58 @@ def build_device_scene(scene: Scene, want_host: bool = False):
     # (R, 32) row gather total — a gather costs ~12 ns/row regardless of
     # width (measured), so folding the separate (R, 16) material-table
     # gather in saves ~11 ms/bounce at 921K lanes.
-    n_tris_pad = max(num_tris, 1)
-    shade_rows = np.zeros((n_tris_pad, 32), np.float32)
-    if num_tris:
-        shade_rows[:num_tris, 0:3] = tri_e1
-        shade_rows[:num_tris, 3:6] = tri_e2
-        shade_rows[:num_tris, 6:8] = tri_uv0
-        shade_rows[:num_tris, 8:10] = tri_uv1
-        shade_rows[:num_tris, 10:12] = tri_uv2
-        shade_rows[:num_tris, 12] = tri_geom_slot.view(np.float32)
+    # At scale, assembled ON DEVICE from the columns uploaded above (pure
+    # rearrangement — same layout the host build produces, verified
+    # bit-identical: e1|e2|uv0|uv1|uv2|geom_slot|mat_id|pad2|
+    # packed-material|pad2). Below the threshold the host build + one
+    # upload is cheaper than the extra device dispatches through the
+    # tunnel (measured: hall 224K tris ~3 s slower on-device; city 6.7M
+    # tris ~50 s faster — the (T, 32) host array is 858 MB there).
+    import jax as _jax
+
+    if num_tris and num_tris < 1_000_000:
+        shade_rows = np.zeros((num_tris, 32), np.float32)
+        shade_rows[:, 0:3] = tri_e1
+        shade_rows[:, 3:6] = tri_e2
+        if any_uvs:
+            shade_rows[:, 6:8] = np.concatenate(uv0s)
+            shade_rows[:, 8:10] = np.concatenate(uv1s)
+            shade_rows[:, 10:12] = np.concatenate(uv2s)
+        shade_rows[:, 12] = tri_geom_slot.view(np.float32)
         if n_inst == 1:
             tri_mat = inst_mat_table[0][tri_geom_slot]
-            shade_rows[:num_tris, 13] = tri_mat.astype(np.int32).view(np.float32)
-            shade_rows[:num_tris, 16:30] = packed[tri_mat]
+            shade_rows[:, 13] = tri_mat.astype(np.int32).view(np.float32)
+            shade_rows[:, 16:30] = packed[tri_mat]
+        d_shade_rows = jnp.asarray(shade_rows)
+    elif num_tris:
+        gs_f = _jax.lax.bitcast_convert_type(d_geom_slot, jnp.float32)[:, None]
+        cols = [d_e1, d_e2, d_uv0, d_uv1, d_uv2, gs_f]
+        if n_inst == 1:
+            tri_mat = jnp.asarray(inst_mat_table[0], jnp.int32)[d_geom_slot]
+            cols.append(
+                _jax.lax.bitcast_convert_type(tri_mat, jnp.float32)[:, None]
+            )
+            cols.append(jnp.zeros((num_tris, 2), jnp.float32))
+            cols.append(jnp.asarray(packed)[tri_mat])
+            cols.append(jnp.zeros((num_tris, 2), jnp.float32))
+        else:
+            cols.append(jnp.zeros((num_tris, 19), jnp.float32))
+        d_shade_rows = jnp.concatenate(cols, axis=1)
+    else:
+        d_shade_rows = jnp.zeros((1, 32), jnp.float32)
 
     mat_rows = np.zeros((n_mat, 16), np.float32)
     mat_rows[:, :14] = packed
 
     flat = FlatScene(
-        tri_v0=jnp.asarray(tri_v0),
-        tri_e1=jnp.asarray(tri_e1),
-        tri_e2=jnp.asarray(tri_e2),
-        tri_uv0=jnp.asarray(tri_uv0),
-        tri_uv1=jnp.asarray(tri_uv1),
-        tri_uv2=jnp.asarray(tri_uv2),
-        tri_geom_slot=jnp.asarray(tri_geom_slot),
-        shade_rows=jnp.asarray(shade_rows),
+        tri_v0=d_v0,
+        tri_e1=d_e1,
+        tri_e2=d_e2,
+        tri_uv0=d_uv0,
+        tri_uv1=d_uv1,
+        tri_uv2=d_uv2,
+        tri_geom_slot=d_geom_slot,
+        shade_rows=d_shade_rows,
         mat_rows=jnp.asarray(mat_rows),
         inst_transform=jnp.asarray(inst_transform),
         inst_inv=jnp.asarray(inst_inv),
