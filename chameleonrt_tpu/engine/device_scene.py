@@ -160,10 +160,9 @@ def build_device_scene(scene: Scene, want_host: bool = False):
         np.concatenate(geom_slots) if geom_slots else np.zeros(0, np.int32)
     ).astype(np.int32)
 
-    # Upload each triangle column ONCE; everything derivable (the fused
-    # shade rows below) is assembled on device from these. At Rungholt
-    # scale the host-side (T, 32) shade-row build + upload was 858 MB and
-    # the single biggest set_scene cost (~60 s through the axon tunnel).
+    # Upload each triangle column ONCE. All-zero UV columns (untextured
+    # scenes) are generated on device — at Rungholt scale that is 3x54 MB
+    # that never crosses the tunnel.
     d_v0 = jnp.asarray(tri_v0)
     d_e1 = jnp.asarray(tri_e1)
     d_e2 = jnp.asarray(tri_e2)
@@ -274,16 +273,14 @@ def build_device_scene(scene: Scene, want_host: bool = False):
     # (R, 32) row gather total — a gather costs ~12 ns/row regardless of
     # width (measured), so folding the separate (R, 16) material-table
     # gather in saves ~11 ms/bounce at 921K lanes.
-    # At scale, assembled ON DEVICE from the columns uploaded above (pure
-    # rearrangement — same layout the host build produces, verified
-    # bit-identical: e1|e2|uv0|uv1|uv2|geom_slot|mat_id|pad2|
-    # packed-material|pad2). Below the threshold the host build + one
-    # upload is cheaper than the extra device dispatches through the
-    # tunnel (measured: hall 224K tris ~3 s slower on-device; city 6.7M
-    # tris ~50 s faster — the (T, 32) host array is 858 MB there).
-    import jax as _jax
-
-    if num_tris and num_tris < 1_000_000:
+    # Host fill + ONE upload at every scale. Measured at 6.7M tris
+    # (858 MB): host fill 7.7 s + upload 0.9 s (the tunnel moves bulk
+    # arrays at ~650 MB/s-1 GB/s) vs 20.7 s for an on-device
+    # gather+concat assembly — eager Mosaic/XLA compiles at this shape
+    # through the tunnel dwarf the transfer they save. The round-2 path
+    # additionally shipped three (T, 2) zero UV arrays and paid
+    # multi-upload variance; those zeros now never leave the device.
+    if num_tris:
         shade_rows = np.zeros((num_tris, 32), np.float32)
         shade_rows[:, 0:3] = tri_e1
         shade_rows[:, 3:6] = tri_e2
@@ -297,20 +294,6 @@ def build_device_scene(scene: Scene, want_host: bool = False):
             shade_rows[:, 13] = tri_mat.astype(np.int32).view(np.float32)
             shade_rows[:, 16:30] = packed[tri_mat]
         d_shade_rows = jnp.asarray(shade_rows)
-    elif num_tris:
-        gs_f = _jax.lax.bitcast_convert_type(d_geom_slot, jnp.float32)[:, None]
-        cols = [d_e1, d_e2, d_uv0, d_uv1, d_uv2, gs_f]
-        if n_inst == 1:
-            tri_mat = jnp.asarray(inst_mat_table[0], jnp.int32)[d_geom_slot]
-            cols.append(
-                _jax.lax.bitcast_convert_type(tri_mat, jnp.float32)[:, None]
-            )
-            cols.append(jnp.zeros((num_tris, 2), jnp.float32))
-            cols.append(jnp.asarray(packed)[tri_mat])
-            cols.append(jnp.zeros((num_tris, 2), jnp.float32))
-        else:
-            cols.append(jnp.zeros((num_tris, 19), jnp.float32))
-        d_shade_rows = jnp.concatenate(cols, axis=1)
     else:
         d_shade_rows = jnp.zeros((1, 32), jnp.float32)
 
