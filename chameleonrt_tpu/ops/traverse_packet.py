@@ -1602,9 +1602,9 @@ def unified_persistent_eligible(
         return False
     n_packets = max(1, -(-n_rays // (p_sub * P_LANE)))
     ray_bytes = _ray_arrays(closest, True) * n_packets * p_sub * P_LANE * 4
-    table_bytes = (ubvh.nodes.size + ubvh.leaf_rows.size) * 4
+    table_bytes = _vmem_window_bytes(ubvh.nodes) + _vmem_window_bytes(ubvh.leaf_rows)
     scratch = 18 * K * p_sub * P_LANE * 4
-    return table_bytes + ray_bytes + scratch <= VMEM_TABLE_BUDGET
+    return table_bytes + ray_bytes + scratch <= VMEM_FIT_BUDGET
 
 
 def traverse_closest_unified_persistent(
@@ -1904,6 +1904,23 @@ def traverse_any_persistent(
 # caller-side size gate: node+leaf tables must fit VMEM alongside ray blocks
 # and scratch. v5e VMEM is 128 MiB; leave headroom for the pipeline.
 VMEM_TABLE_BUDGET = 88 * 1024 * 1024
+# Whole-kernel fit budget for the padded-footprint accounting below
+# (4 MiB headroom under VMEM_LIMIT for the few-MiB of allocations the
+# estimate doesn't itemize — semaphores, iter counter, compiler slack).
+VMEM_FIT_BUDGET = 120 * 1024 * 1024
+
+
+def _vmem_window_bytes(arr) -> int:
+    """True scoped-VMEM footprint of an untiled (rows, cols) f32 window:
+    Mosaic pads the minor dim to the 128-lane register width and the
+    sublane dim to 8. Measured on v5e (compiler allocation dump): a
+    (122880, 40) f32 leaf table costs 60.00 MiB in VMEM — rows*128*4 —
+    not the 19.7 MiB of its unpadded bytes, and a (61440, 32) node table
+    30.00 MiB. Eligibility gates that ignored this padding green-lit a
+    135 MiB kernel on the San Miguel-class unified scene, which the
+    compiler then refused (scoped VMEM over the 124 MiB limit)."""
+    rows, cols = arr.shape
+    return (-(-rows // 8) * 8) * (-(-cols // 128) * 128) * 4
 
 
 def _ray_arrays(closest: bool, unified: bool = False) -> int:
@@ -1926,7 +1943,10 @@ def persistent_stream_eligible(
     exceeded — Rungholt-class scenes run HERE instead of dropping to the
     ~100x-slower XLA gather path (the reference's traversal is HBM-native
     at any scale, rtcIntersectV / render_embree.ispc:245)."""
-    if pbvh.arity not in (2, 4, 8) or pbvh.num_leaves <= 1:
+    n_leaves = getattr(pbvh, "num_leaves", None)
+    if n_leaves is None:  # UnifiedBvh carries leaf rows, not a leaf count
+        n_leaves = pbvh.leaf_rows.shape[0]
+    if pbvh.arity not in (2, 4, 8) or n_leaves <= 1:
         return False
     bound = getattr(pbvh, "stack_bound", None)
     if bound is None:
@@ -1946,8 +1966,8 @@ def packet_eligible(pbvh: PackedBvh) -> bool:
     the persistent kernels.)"""
     if pbvh.arity not in (2, 4, 8) or pbvh.max_depth is None or pbvh.num_leaves <= 1:
         return False
-    table_bytes = (pbvh.nodes.size + pbvh.leaf_rows.size) * 4
-    return table_bytes <= VMEM_TABLE_BUDGET
+    table_bytes = _vmem_window_bytes(pbvh.nodes) + _vmem_window_bytes(pbvh.leaf_rows)
+    return table_bytes <= VMEM_FIT_BUDGET
 
 
 def persistent_eligible(
@@ -1963,9 +1983,9 @@ def persistent_eligible(
         return False
     n_packets = max(1, -(-n_rays // (p_sub * P_LANE)))
     ray_bytes = _ray_arrays(closest) * n_packets * p_sub * P_LANE * 4
-    table_bytes = (pbvh.nodes.size + pbvh.leaf_rows.size) * 4
+    table_bytes = _vmem_window_bytes(pbvh.nodes) + _vmem_window_bytes(pbvh.leaf_rows)
     scratch = 16 * K * p_sub * P_LANE * 4
-    return table_bytes + ray_bytes + scratch <= VMEM_TABLE_BUDGET
+    return table_bytes + ray_bytes + scratch <= VMEM_FIT_BUDGET
 
 
 def traverse_closest_packet(

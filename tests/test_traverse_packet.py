@@ -128,6 +128,30 @@ def test_packet_eligibility_gates():
     )
 
 
+def test_vmem_footprint_is_lane_padded():
+    """Eligibility must account for Mosaic's untiled-window lane padding
+    (minor dim -> 128, sublanes -> 8). The values below are the exact
+    allocations from the v5e compiler dump that rejected the San
+    Miguel-class unified kernel (135 MiB scoped) after the unpadded
+    estimate (77 MiB) had green-lit it."""
+    from chameleonrt_tpu.ops.lbvh import UnifiedBvh
+
+    leafs = np.zeros((122880, 40), np.float32)
+    nodes = np.zeros((61440, 32), np.float32)
+    assert tp._vmem_window_bytes(leafs) == 60 * 1024 * 1024
+    assert tp._vmem_window_bytes(nodes) == 30 * 1024 * 1024
+
+    ub = UnifiedBvh(
+        jnp.asarray(nodes), jnp.asarray(leafs),
+        n_tri_leaves=120355, tlas_lo=57424, stack_bound=48,
+    )
+    # tables + 921600 resident rays = ~140 MiB padded: NOT persistent-
+    # eligible, but the DMA-streamed tier (tables stay in HBM) must accept
+    # a UnifiedBvh (it has no num_leaves attribute — this crashed once)
+    assert not tp.unified_persistent_eligible(ub, 921600)
+    assert tp.persistent_stream_eligible(ub, 921600)
+
+
 @pytest.fixture(scope="module")
 def bvh4_and_rays(scene_and_rays):
     """The BVH4 slot of the same scene (native builder emits both layouts
