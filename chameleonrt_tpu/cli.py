@@ -128,8 +128,14 @@ def _parse_args(argv: List[str]):
             opts["img"] = (int(argv[i + 1]), int(argv[i + 2]))
             i += 3
         elif a == "-mat-mode":
+            # unknown modes are an error, like the reference (main.cpp:158-161)
             if argv[i + 1] == "white_diffuse":
                 opts["mat_mode"] = MaterialMode.WHITE_DIFFUSE
+            elif argv[i + 1] != "default":
+                raise ValueError(
+                    f"unknown material mode '{argv[i + 1]}' "
+                    "(expected default|white_diffuse)"
+                )
             i += 2
         elif a == "-validation":
             opts["validation"] = argv[i + 1]

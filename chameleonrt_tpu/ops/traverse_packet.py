@@ -1901,8 +1901,9 @@ def traverse_any_persistent(
     return _unpack_rays_pm(occ, R) & mask
 
 
-# caller-side size gate: node+leaf tables must fit VMEM alongside ray blocks
-# and scratch. v5e VMEM is 128 MiB; leave headroom for the pipeline.
+# Streamed-tier ray/output/scratch budget: with node+leaf tables left in
+# HBM, the per-wavefront VMEM residents (ray inputs, outputs, slot scratch)
+# must stay under this bound. v5e VMEM is 128 MiB; leave headroom.
 VMEM_TABLE_BUDGET = 88 * 1024 * 1024
 # Whole-kernel fit budget for the padded-footprint accounting below
 # (4 MiB headroom under VMEM_LIMIT for the few-MiB of allocations the
@@ -1919,6 +1920,10 @@ def _vmem_window_bytes(arr) -> int:
     30.00 MiB. Eligibility gates that ignored this padding green-lit a
     135 MiB kernel on the San Miguel-class unified scene, which the
     compiler then refused (scoped VMEM over the 124 MiB limit)."""
+    assert arr.ndim == 2 and arr.dtype == jnp.float32, (
+        f"VMEM window accounting assumes 2D f32 tables, got "
+        f"{arr.shape} {arr.dtype}"
+    )
     rows, cols = arr.shape
     return (-(-rows // 8) * 8) * (-(-cols // 128) * 128) * 4
 
@@ -1959,15 +1964,29 @@ def persistent_stream_eligible(
     return ray_bytes + scratch <= VMEM_TABLE_BUDGET
 
 
-def packet_eligible(pbvh: PackedBvh) -> bool:
+def _packet_structure_ok(pbvh: PackedBvh) -> bool:
+    return not (
+        pbvh.arity not in (2, 4, 8)
+        or pbvh.max_depth is None
+        or pbvh.num_leaves <= 1
+    )
+
+
+def packet_eligible(pbvh: PackedBvh, p_sub: int = DEFAULT_P_SUB) -> bool:
     """True when the packet kernels can traverse this BVH: binary or BVH4
     layout, builder-certified stack depth, >1 leaf, tables that fit VMEM.
     (The grid kernels remain binary-only; the caller routes BVH4 through
-    the persistent kernels.)"""
-    if pbvh.arity not in (2, 4, 8) or pbvh.max_depth is None or pbvh.num_leaves <= 1:
+    the persistent kernels.) The grid kernel additionally double-buffers
+    8 input + 5 output (K*p_sub, 128) ray blocks per pipeline step plus
+    the slot scratch — itemize those against the budget rather than
+    relying on headroom (ADVICE r3 #1)."""
+    if not _packet_structure_ok(pbvh):
         return False
     table_bytes = _vmem_window_bytes(pbvh.nodes) + _vmem_window_bytes(pbvh.leaf_rows)
-    return table_bytes <= VMEM_FIT_BUDGET
+    block = K * p_sub * P_LANE * 4
+    pipeline_bytes = 2 * (8 + 5) * block  # double-buffered in/out ray blocks
+    scratch_bytes = 16 * block  # kernel VMEM scratch (rows + slot state)
+    return table_bytes + pipeline_bytes + scratch_bytes <= VMEM_FIT_BUDGET
 
 
 def persistent_eligible(
@@ -1979,7 +1998,7 @@ def persistent_eligible(
     the hall wavefronts (b0 160->79 ms, b1 365->209 ms) because slots
     pull fresh packets from the queue instead of idling on the group
     barrier."""
-    if not packet_eligible(pbvh):
+    if not _packet_structure_ok(pbvh):
         return False
     n_packets = max(1, -(-n_rays // (p_sub * P_LANE)))
     ray_bytes = _ray_arrays(closest) * n_packets * p_sub * P_LANE * 4

@@ -82,3 +82,17 @@ class TestCliFlags:
         rc = cli.main(["tpu", "/does/not/exist.obj"])
         assert rc == 1
         assert "Error:" in capsys.readouterr().err
+
+    def test_unknown_mat_mode_errors(self, capsys):
+        # reference prints an error and exits on unknown modes
+        # (main.cpp:158-161); silently defaulting diverged (VERDICT r3 weak #8)
+        rc = cli.main(["tpu", "proc://cornell", "-mat-mode", "shiny"])
+        assert rc == 1
+        out = capsys.readouterr()
+        assert "unknown material mode" in out.err
+
+    def test_known_mat_modes_parse(self):
+        opts = cli.parse_args(["tpu", "s.obj", "-mat-mode", "white_diffuse"])
+        assert opts is not None
+        opts = cli.parse_args(["tpu", "s.obj", "-mat-mode", "default"])
+        assert opts is not None
