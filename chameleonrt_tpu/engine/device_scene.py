@@ -103,6 +103,43 @@ class SceneMeta:
         return self.num_instances == 1
 
 
+# Above this triangle count the fused shade rows are assembled on device
+# (tests patch this down to cover the device path at small sizes).
+SHADE_ROWS_DEVICE_MIN = 1_000_000
+
+
+def _assemble_shade_rows_device(e1, e2, uv0, uv1, uv2, geom_slot, mat_table_row,
+                                mat_rows):
+    """Assemble the fused (T, 32) shade-row table on device from columns
+    already resident in HBM (large-scene path of build_device_scene)."""
+    import jax
+
+    @jax.jit
+    def single(e1, e2, uv0, uv1, uv2, gs, mtr, mr):
+        T = e1.shape[0]
+        gsf = jax.lax.bitcast_convert_type(gs, jnp.float32)[:, None]
+        mat = mtr[gs]
+        matf = jax.lax.bitcast_convert_type(mat, jnp.float32)[:, None]
+        pad2 = jnp.zeros((T, 2), jnp.float32)
+        return jnp.concatenate(
+            [e1, e2, uv0, uv1, uv2, gsf, matf, pad2, mr[mat][:, :14], pad2],
+            axis=1,
+        )
+
+    @jax.jit
+    def multi(e1, e2, uv0, uv1, uv2, gs):
+        T = e1.shape[0]
+        gsf = jax.lax.bitcast_convert_type(gs, jnp.float32)[:, None]
+        return jnp.concatenate(
+            [e1, e2, uv0, uv1, uv2, gsf, jnp.zeros((T, 19), jnp.float32)],
+            axis=1,
+        )
+
+    if mat_table_row is not None:
+        return single(e1, e2, uv0, uv1, uv2, geom_slot, mat_table_row, mat_rows)
+    return multi(e1, e2, uv0, uv1, uv2, geom_slot)
+
+
 def build_device_scene(scene: Scene, want_host: bool = False):
     """Flatten + upload. With want_host=True also returns the host-side
     (v0, e1, e2) numpy triple for the BVH builder — reading triangles BACK
@@ -149,9 +186,11 @@ def build_device_scene(scene: Scene, want_host: bool = False):
     num_tris = start
 
     def cat(parts, width):
-        if parts:
-            return np.ascontiguousarray(np.concatenate(parts), dtype=np.float32)
-        return np.zeros((0, width), np.float32)
+        if not parts:
+            return np.zeros((0, width), np.float32)
+        if len(parts) == 1:  # np.concatenate([x]) would copy 80 MB at city scale
+            return np.ascontiguousarray(parts[0], dtype=np.float32)
+        return np.ascontiguousarray(np.concatenate(parts), dtype=np.float32)
 
     tri_v0 = cat(v0s, 3)
     tri_e1 = cat(e1s, 3)
@@ -267,20 +306,35 @@ def build_device_scene(scene: Scene, want_host: bool = False):
     else:
         atlas = TextureAtlas.empty()
 
+    mat_rows = np.zeros((n_mat, 16), np.float32)
+    mat_rows[:, :14] = packed
+
     # Fused shading rows (see FlatScene docstring). For single-instance
     # scenes the per-triangle material id is static, so the FULL packed
     # material record is baked into cols [16, 30): shading then needs ONE
     # (R, 32) row gather total — a gather costs ~12 ns/row regardless of
     # width (measured), so folding the separate (R, 16) material-table
     # gather in saves ~11 ms/bounce at 921K lanes.
-    # Host fill + ONE upload at every scale. Measured at 6.7M tris
-    # (858 MB): host fill 7.7 s + upload 0.9 s (the tunnel moves bulk
-    # arrays at ~650 MB/s-1 GB/s) vs 20.7 s for an on-device
-    # gather+concat assembly — eager Mosaic/XLA compiles at this shape
-    # through the tunnel dwarf the transfer they save. The round-2 path
-    # additionally shipped three (T, 2) zero UV arrays and paid
-    # multi-upload variance; those zeros now never leave the device.
-    if num_tris:
+    # Small scenes: host fill + ONE upload. Large scenes (>1M tris): every
+    # column is already ON DEVICE (d_e1/d_e2/d_uv*/d_geom_slot + the
+    # material tables), so one jitted concat+gather assembles the (T, 32)
+    # table in HBM — measured at 6.7M tris the host path costs 5.5 s fill
+    # + 1.5 s upload of 858 MB, the device path ~0 (one cached compile).
+    # Round 3 measured a 20.7 s device assembly, but that was EAGER ops
+    # (one remote Mosaic/XLA compile each); a single jitted function hits
+    # the persistent compilation cache.
+    if num_tris > SHADE_ROWS_DEVICE_MIN:
+        d_shade_rows = _assemble_shade_rows_device(
+            d_e1,
+            d_e2,
+            d_uv0,
+            d_uv1,
+            d_uv2,
+            d_geom_slot,
+            jnp.asarray(inst_mat_table[0]) if n_inst == 1 else None,
+            jnp.asarray(mat_rows),
+        )
+    elif num_tris:
         shade_rows = np.zeros((num_tris, 32), np.float32)
         shade_rows[:, 0:3] = tri_e1
         shade_rows[:, 3:6] = tri_e2
@@ -296,9 +350,6 @@ def build_device_scene(scene: Scene, want_host: bool = False):
         d_shade_rows = jnp.asarray(shade_rows)
     else:
         d_shade_rows = jnp.zeros((1, 32), jnp.float32)
-
-    mat_rows = np.zeros((n_mat, 16), np.float32)
-    mat_rows[:, :14] = packed
 
     flat = FlatScene(
         tri_v0=d_v0,

@@ -208,14 +208,11 @@ def build_blas_set(
                 host_tris[2][start : start + count],
                 _native_leaf_size(),
                 wide_arity=_wide_arity(),
+                pad_to=_bucket_size,
             )
             if res is not None:
                 nodes2, nodes4, leaf_rows, depth2, stack4 = res
-                nodes2 = _pad_rows(nodes2, _bucket_size(nodes2.shape[0]))
-                nodes4 = _pad_rows(nodes4, _bucket_size(nodes4.shape[0]))
-                leaf_rows = jnp.asarray(
-                    _pad_rows(leaf_rows, _bucket_size(leaf_rows.shape[0]))
-                )
+                leaf_rows = jnp.asarray(leaf_rows)
                 blas.append(
                     BlasPair(
                         closest=PackedBvh(

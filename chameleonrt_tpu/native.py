@@ -152,7 +152,8 @@ def build_bvh_native(v0, e1, e2, leaf_size: int):
         lib.crt_bvh_free(handle)
 
 
-def build_bvh_pair_native(v0, e1, e2, leaf_size: int, wide_arity: int = 4):
+def build_bvh_pair_native(v0, e1, e2, leaf_size: int, wide_arity: int = 4,
+                          pad_to=None):
     """One binned-SAH build, both packed layouts: the binary 16-float-row
     table (XLA-fallback closest traversal + parity oracle) and the
     collapsed W-wide 8W-float-row table (the packet kernels' production
@@ -160,6 +161,12 @@ def build_bvh_pair_native(v0, e1, e2, leaf_size: int, wide_arity: int = 4):
     ~70 ns per scalar-indexed row fetch, so wider rows that halve the rows
     touched per ray are a direct win; BVH4 measured any-hit 495 -> 376 ms
     on the v5e hall, BVH8 halves internal rows again).
+
+    pad_to: optional int->int row-count bucketing function. The tables are
+    allocated at the bucketed row count up front (np.zeros = untouched
+    zero pages) and the native fill writes only the real rows — a separate
+    np.pad afterwards would copy ~700 MB at 6.7M tris.
+
     Returns (nodes2, nodesw, leaf_rows, depth2, max_stackw) numpy arrays /
     ints, or None when the native library is unavailable."""
     lib = get_lib()
@@ -182,13 +189,14 @@ def build_bvh_pair_native(v0, e1, e2, leaf_size: int, wide_arity: int = 4):
     )
     if not handle:
         return None
+    pad = pad_to if pad_to is not None else (lambda r: r)
     try:
         n_internal = lib.crt_bvh_num_internal(handle)
         nw = lib.crt_bvh_num_nodes4(handle)
         n_leaves = lib.crt_bvh_num_leaves(handle)
-        nodes2 = np.empty((n_internal, 16), np.float32)
-        nodesw = np.empty((nw, 8 * wide_arity), np.float32)
-        leaf_rows = np.empty((n_leaves, 10 * leaf_size), np.float32)
+        nodes2 = np.zeros((pad(n_internal), 16), np.float32)
+        nodesw = np.zeros((pad(nw), 8 * wide_arity), np.float32)
+        leaf_rows = np.zeros((pad(n_leaves), 10 * leaf_size), np.float32)
         lib.crt_bvh_nodes(handle, nodes2.ctypes.data_as(fptr))
         lib.crt_bvh_nodes4(handle, nodesw.ctypes.data_as(fptr))
         lib.crt_bvh_leaf_rows(handle, leaf_rows.ctypes.data_as(fptr))

@@ -14,6 +14,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <limits>
 #include <vector>
@@ -100,20 +101,28 @@ struct Builder {
         return static_cast<int32_t>(nodes.size() - 1);
     }
 
-    int32_t build(int64_t begin, int64_t end, int depth) {
-        max_depth = std::max(max_depth, depth);
-        Aabb box;
-        box.reset();
-        Aabb cbox;
-        cbox.reset();
+    void span_boxes(int64_t begin, int64_t end, Aabb *box, Aabb *cbox) const {
+        box->reset();
+        cbox->reset();
         for (int64_t i = begin; i < end; ++i) {
-            box.grow(prims[i].box);
-            cbox.grow_point(prims[i].c);
+            box->grow(prims[i].box);
+            cbox->grow_point(prims[i].c);
         }
+    }
+
+    // box/cbox are passed DOWN: exact child boxes fall out of the binning
+    // pass (bins partition the prims, so unions of bin boxes are exact),
+    // which removes the O(count) recompute pass every node used to start
+    // with — the tree is bit-identical to the recompute form.
+    int32_t build(int64_t begin, int64_t end, int depth, const Aabb &box,
+                  const Aabb &cbox) {
+        max_depth = std::max(max_depth, depth);
         int64_t count = end - begin;
         if (count <= leaf_size) return make_leaf(begin, end, box);
 
         int64_t mid = -1;
+        Aabb lbox, lcbox, rbox, rcbox;
+        bool child_boxes_known = false;
         int budget = kDepthLimit - depth;
         bool sah_safe =
             budget >= 2 &&
@@ -134,13 +143,18 @@ struct Builder {
                 float scale = kBins / extent;
                 float lo = cbox.lo[axis];
                 Aabb bin_box[kBins];
+                Aabb bin_cbox[kBins];
                 int64_t bin_cnt[kBins] = {0};
-                for (int b = 0; b < kBins; ++b) bin_box[b].reset();
+                for (int b = 0; b < kBins; ++b) {
+                    bin_box[b].reset();
+                    bin_cbox[b].reset();
+                }
                 for (int64_t i = begin; i < end; ++i) {
                     int b = static_cast<int>((prims[i].c[axis] - lo) * scale);
                     b = std::min(std::max(b, 0), kBins - 1);
                     bin_cnt[b]++;
                     bin_box[b].grow(prims[i].box);
+                    bin_cbox[b].grow_point(prims[i].c);
                 }
                 float best_cost = std::numeric_limits<float>::infinity();
                 int best_bin = -1;
@@ -177,18 +191,86 @@ struct Builder {
                     Prim *split = std::partition(base + begin, base + end, pred);
                     mid = split - base;
                     if (mid == begin || mid == end) mid = -1;
+                    if (mid >= 0) {
+                        lbox.reset(); lcbox.reset(); rbox.reset(); rcbox.reset();
+                        for (int b = 0; b <= best_bin; ++b) {
+                            lbox.grow(bin_box[b]);
+                            lcbox.grow(bin_cbox[b]);
+                        }
+                        for (int b = best_bin + 1; b < kBins; ++b) {
+                            rbox.grow(bin_box[b]);
+                            rcbox.grow(bin_cbox[b]);
+                        }
+                        child_boxes_known = true;
+                    }
                 }
             }
         }
         if (mid < 0) mid = begin + count / 2;  // median fallback (equal centroids / depth cap)
+        if (!child_boxes_known) {
+            span_boxes(begin, mid, &lbox, &lcbox);
+            span_boxes(mid, end, &rbox, &rcbox);
+        }
 
         int32_t me = static_cast<int32_t>(nodes.size());
         nodes.emplace_back();
         nodes[me].box = box;
-        int32_t l = build(begin, mid, depth + 1);
-        int32_t r = build(mid, end, depth + 1);
+        int32_t l = build(begin, mid, depth + 1, lbox, lcbox);
+        int32_t r = build(mid, end, depth + 1, rbox, rcbox);
         nodes[me].left = l;
         nodes[me].right = r;
+        return me;
+    }
+
+    // Morton-ordered top levels for huge scenes (VERDICT r3 #3): prims are
+    // presorted by 30-bit Morton code of their centroid; ranges split at
+    // the highest differing code bit (an O(log n) binary search — no
+    // binning/partition passes at all) until they fit kSahSubtree, where
+    // the full binned-SAH build takes over. Node boxes are unioned up from
+    // the children (post-order), so the top levels do zero per-prim work.
+    int32_t build_morton(int64_t begin, int64_t end, int depth,
+                         const std::vector<uint32_t> &codes,
+                         int64_t sah_subtree) {
+        max_depth = std::max(max_depth, depth);
+        int64_t count = end - begin;
+        int budget = kDepthLimit - depth;
+        bool room =
+            budget >= 2 &&
+            (budget - 1 >= 62 ||
+             count - 1 <= (static_cast<int64_t>(leaf_size) << (budget - 1)));
+        if (count <= sah_subtree || !room) {
+            Aabb box, cbox;
+            span_boxes(begin, end, &box, &cbox);
+            return build(begin, end, depth, box, cbox);
+        }
+        uint32_t first = codes[prims[begin].id];
+        uint32_t last = codes[prims[end - 1].id];
+        int64_t mid;
+        if (first == last) {
+            mid = begin + count / 2;
+        } else {
+            // split where the highest differing bit flips: binary search
+            // for the first prim whose code has that bit set
+            uint32_t diff = first ^ last;
+            int bit = 31;
+            while (!((diff >> bit) & 1u)) --bit;
+            uint32_t pivot = (first | ((1u << bit) - 1u)) + 1u;  // first code with the bit set
+            int64_t lo = begin, hi = end;
+            while (lo < hi) {
+                int64_t m = lo + (hi - lo) / 2;
+                if (codes[prims[m].id] < pivot) lo = m + 1; else hi = m;
+            }
+            mid = lo;
+            if (mid == begin || mid == end) mid = begin + count / 2;
+        }
+        int32_t me = static_cast<int32_t>(nodes.size());
+        nodes.emplace_back();
+        int32_t l = build_morton(begin, mid, depth + 1, codes, sah_subtree);
+        int32_t r = build_morton(mid, end, depth + 1, codes, sah_subtree);
+        nodes[me].left = l;
+        nodes[me].right = r;
+        nodes[me].box = nodes[l].box;
+        nodes[me].box.grow(nodes[r].box);
         return me;
     }
 
@@ -196,6 +278,9 @@ struct Builder {
         prims.resize(n);
         nodes.reserve(2 * (n / std::max(leaf_size / 2, 1)) + 4);
         leaf_prims.reserve(n + leaf_size);
+        Aabb box, cbox;
+        box.reset();
+        cbox.reset();
         for (int64_t i = 0; i < n; ++i) {
             Prim &p = prims[i];
             p.id = static_cast<int32_t>(i);
@@ -207,8 +292,65 @@ struct Builder {
                 p.box.hi[a] = std::max(q0, std::max(q1, q2));
                 p.c[a] = 0.5f * (p.box.lo[a] + p.box.hi[a]);
             }
+            box.grow(p.box);
+            cbox.grow_point(p.c);
         }
-        build(0, n, 0);
+
+        int64_t morton_min = 2'000'000;
+        if (const char *e = std::getenv("CRT_BVH_MORTON_MIN"))
+            morton_min = std::atoll(e);
+        if (morton_min > 0 && n >= morton_min) {
+            // 30-bit Morton codes of centroids in the root centroid box
+            std::vector<uint32_t> codes(n);
+            float inv[3];
+            for (int a = 0; a < 3; ++a) {
+                float ext = cbox.hi[a] - cbox.lo[a];
+                inv[a] = ext > 0.f ? 1024.0f / ext : 0.f;
+            }
+            for (int64_t i = 0; i < n; ++i) {
+                uint32_t code = 0;
+                for (int a = 0; a < 3; ++a) {
+                    uint32_t q = static_cast<uint32_t>(std::min(
+                        std::max((prims[i].c[a] - cbox.lo[a]) * inv[a], 0.f),
+                        1023.f));
+                    // spread 10 bits to every 3rd position
+                    uint32_t x = q;
+                    x = (x | (x << 16)) & 0x030000FFu;
+                    x = (x | (x << 8)) & 0x0300F00Fu;
+                    x = (x | (x << 4)) & 0x030C30C3u;
+                    x = (x | (x << 2)) & 0x09249249u;
+                    code |= x << a;
+                }
+                codes[i] = code;
+            }
+            // radix-sort (code, id) as uint64 in two 16-bit passes over the
+            // code half (ids ride in the low half; stability keeps input
+            // order within equal codes)
+            std::vector<uint64_t> keys(n), tmp(n);
+            for (int64_t i = 0; i < n; ++i)
+                keys[i] = (static_cast<uint64_t>(codes[i]) << 32) | static_cast<uint32_t>(i);
+            for (int pass = 0; pass < 2; ++pass) {
+                int shift = 32 + pass * 16;
+                std::vector<int64_t> hist(65537, 0);
+                for (int64_t i = 0; i < n; ++i)
+                    hist[((keys[i] >> shift) & 0xFFFFu) + 1]++;
+                for (int b = 0; b < 65536; ++b) hist[b + 1] += hist[b];
+                for (int64_t i = 0; i < n; ++i)
+                    tmp[hist[(keys[i] >> shift) & 0xFFFFu]++] = keys[i];
+                std::swap(keys, tmp);
+            }
+            std::vector<Prim> sorted(n);
+            for (int64_t i = 0; i < n; ++i)
+                sorted[i] = prims[static_cast<uint32_t>(keys[i])];
+            prims.swap(sorted);
+
+            int64_t sah_subtree = 262'144;
+            if (const char *e = std::getenv("CRT_BVH_SAH_SUBTREE"))
+                sah_subtree = std::atoll(e);
+            build_morton(0, n, 0, codes, std::max<int64_t>(sah_subtree, leaf_size));
+            return;
+        }
+        build(0, n, 0, box, cbox);
     }
 };
 
@@ -324,8 +466,10 @@ int32_t emitw(const Builder &b, Packed *p, int32_t node_id, int *stack_need) {
         return -(nd.leaf_id + 1);
     }
     // gather up to W slots: start with the two children, then repeatedly
-    // expand the internal slot with the largest surface area
-    std::vector<int32_t> slot(W, -1);
+    // expand the internal slot with the largest surface area (fixed array:
+    // a heap-allocated vector here costs one malloc per emitted node)
+    int32_t slot[16];
+    for (int s = 0; s < W; ++s) slot[s] = -1;
     slot[0] = nd.left;
     slot[1] = nd.right;
     int n = 2;

@@ -190,3 +190,25 @@ class TestImageIO:
         write_image(p, img)
         assert os.path.exists(p)
         assert read_image(p).shape == (2, 2, 3)
+
+
+class TestDeviceShadeRows:
+    def test_device_assembly_matches_host(self, monkeypatch):
+        """The >1M-tri device-side shade-row assembly must produce exactly
+        the host-filled table (same layout incl. bitcast int columns)."""
+        import numpy as np
+
+        from chameleonrt_tpu.engine import device_scene as ds
+        from chameleonrt_tpu.scene.loader import load_scene
+
+        for url in ("proc://cornell", "proc://hall?subdiv=1&textured=1&columns=2"):
+            host_flat, _ = ds.build_device_scene(load_scene(url))
+            monkeypatch.setattr(ds, "SHADE_ROWS_DEVICE_MIN", 0)
+            dev_flat, _ = ds.build_device_scene(load_scene(url))
+            monkeypatch.undo()
+            a = np.asarray(host_flat.shade_rows)
+            b = np.asarray(dev_flat.shade_rows)
+            assert a.shape == b.shape
+            np.testing.assert_array_equal(
+                a.view(np.uint32), b.view(np.uint32), err_msg=url
+            )
