@@ -376,3 +376,54 @@ def test_progressive_grayscale():
     ref = np.asarray(PIL.open(buf))
     assert mine.shape == img.shape + (1,)
     assert np.abs(mine[:, :, 0].astype(int) - ref.astype(int)).max() <= 2
+
+
+class TestProductEncoder:
+    """The product encoder (utils/jpeg_encode.py — stb_image_write's encode
+    role, for the web viewer's MJPEG stream) round-trips through the product
+    decoder within quantization error."""
+
+    def _psnr(self, a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return 10 * np.log10(255.0**2 / max(mse, 1e-12))
+
+    def test_roundtrip_rgb_gradient(self):
+        from chameleonrt_tpu.utils.jpeg_encode import encode_jpeg as product_encode
+
+        h, w = 72, 100  # non-multiple-of-8 on both sides
+        y, x = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [
+                (255 * x / w).astype(np.uint8),
+                (255 * y / h).astype(np.uint8),
+                ((x + y) % 256).astype(np.uint8),
+            ],
+            axis=2,
+        )
+        out = decode_jpeg(product_encode(img, quality=90))
+        assert out.shape == img.shape
+        assert self._psnr(img, out) > 30.0
+
+    def test_roundtrip_quality_ladder(self):
+        from chameleonrt_tpu.utils.jpeg_encode import encode_jpeg as product_encode
+
+        rng = np.random.default_rng(3)
+        # smooth random field (JPEG-friendly)
+        img = rng.integers(0, 255, (4, 6, 3)).astype(np.uint8)
+        img = np.kron(img, np.ones((16, 16, 1))).astype(np.uint8)
+        prev_len = None
+        for q in (50, 80, 95):
+            data = product_encode(img, quality=q)
+            out = decode_jpeg(data)
+            assert self._psnr(img, out) > (28 if q == 50 else 33)
+            if prev_len is not None:
+                assert len(data) >= prev_len * 0.8  # higher q, no big shrink
+            prev_len = len(data)
+
+    def test_gray_input(self):
+        from chameleonrt_tpu.utils.jpeg_encode import encode_jpeg as product_encode
+
+        img = np.tile(np.linspace(0, 255, 64, dtype=np.uint8), (64, 1))
+        out = decode_jpeg(product_encode(img, quality=92))
+        assert out.shape == (64, 64, 3)
+        assert np.abs(out.astype(int).mean(axis=2) - img.astype(int)).mean() < 4
