@@ -28,6 +28,18 @@ from chameleonrt_tpu.ops.math import cross, dot
 # literals and are immune.
 T_MAX = np.float32(1e20)
 _MT_EPS = 1e-9
+# Barycentric boundary tolerance: rays aimed EXACTLY through shared edges
+# and vertices land on u/v == 0 or u+v == 1, where f32 rounding in the
+# (differently-based) cross products of NEIGHBORING triangles can reject
+# the hit on both sides — a crack (Embree's rtcIntersectV is watertight by
+# construction; tests/test_watertight.py measured 3-4% of exact edge rays
+# escaping at tolerance 0). Accepting a 4e-6 band fattens every triangle
+# by less than a hundredth of a pixel at any practical resolution and is
+# applied IDENTICALLY in all three intersection paths (brute force, XLA
+# traversal leaves, Pallas packet _mt) so cross-path parity stays exact.
+# The full Woop/Benthin/Wald shear transform would make this exact but
+# costs ~+40% leaf-phase math in the hot kernel (per-lane axis selects).
+UV_EPS = np.float32(4e-6)
 
 
 class Hit(NamedTuple):
@@ -72,9 +84,9 @@ def moller_trumbore(orig, dir, v0, e1, e2, t_min=0.0, t_max=T_MAX):
     t = dot(e2, qvec) * inv_det
     hit = (
         (jnp.abs(det) >= _MT_EPS)
-        & (u >= 0.0)
-        & (v >= 0.0)
-        & (u + v <= 1.0)
+        & (u >= -UV_EPS)
+        & (v >= -UV_EPS)
+        & (u + v <= 1.0 + UV_EPS)
         & (t > t_min)
         & (t < t_max)
     )

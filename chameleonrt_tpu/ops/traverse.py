@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from chameleonrt_tpu.ops.intersect import T_MAX
+from chameleonrt_tpu.ops.intersect import T_MAX, UV_EPS
 from chameleonrt_tpu.ops.lbvh import PackedBvh
 
 STACK_DEPTH = 48
@@ -127,9 +127,9 @@ def _mt_rows(rows, L, orig, dir, t_min, t_max):
     hit = (
         (jnp.abs(det) >= _MT_EPS)
         & (prim >= 0)
-        & (u >= 0.0)
-        & (v >= 0.0)
-        & (u + v <= 1.0)
+        & (u >= -UV_EPS)
+        & (v >= -UV_EPS)
+        & (u + v <= 1.0 + UV_EPS)
         & (t > t_min[:, None])
         & (t < t_max[:, None])
     )

@@ -54,7 +54,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from chameleonrt_tpu.ops.intersect import T_MAX
+from chameleonrt_tpu.ops.intersect import T_MAX, UV_EPS
 from chameleonrt_tpu.ops.lbvh import PackedBvh
 
 import os as _os
@@ -184,9 +184,9 @@ def _mt(lrows, L, p_sub, ox, oy, oz, dx, dy, dz, t_min, t_cap):
         hit = (
             (jnp.abs(det) >= _MT_EPS)
             & (prim_i >= 0)
-            & (u >= 0.0)
-            & (v >= 0.0)
-            & (u + v <= 1.0)
+            & (u >= -UV_EPS)
+            & (v >= -UV_EPS)
+            & (u + v <= 1.0 + UV_EPS)
             & (t > t_min)
             & (t < t_cap)
         )
