@@ -35,14 +35,18 @@ class JaxRenderBackend(RenderBackend):
     #: whether to count rays (the REPORT_RAY_STATS equivalent); cheap, on by default
     report_ray_stats: bool = True
 
-    def __init__(self, report_ray_stats: bool = True, devices: int = 0):
+    def __init__(self, report_ray_stats: bool = True, devices: int = 0,
+                 rebalance: bool = False):
         """devices: 0 = single-chip (default), -1 = all available devices,
         N > 1 = shard the framebuffer rows over min(N, available) devices
         via parallel.sharded (the product seam for SURVEY.md §2.3
-        multi-chip: `-devices` CLI flag routes here)."""
+        multi-chip: `-devices` CLI flag routes here). rebalance: with
+        devices > 1, ppermute mid-path active-ray redistribution between
+        hypercube-paired devices (`-rebalance` CLI flag)."""
         super().__init__()
         self.report_ray_stats = report_ray_stats
         self.devices_requested = devices
+        self.rebalance = rebalance
         self.fb_width = 0
         self.fb_height = 0
         self.frame_id = 0
@@ -148,7 +152,8 @@ class JaxRenderBackend(RenderBackend):
             self._mesh = sharded.make_mesh(jax.devices()[:n_dev])
             self.flat = sharded.replicate_scene(self.flat, self._mesh)
             return sharded.make_sharded_render_step(
-                meta, trace_closest, trace_any, self._mesh, W, H, spp
+                meta, trace_closest, trace_any, self._mesh, W, H, spp,
+                rebalance=self.rebalance,
             )
         chunks = self._render_chunks()
         # Distinct per-backend program names so profiles and compile-cache

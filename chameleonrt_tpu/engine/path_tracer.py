@@ -341,6 +341,72 @@ def _sort_wavefront(state, orig, dir, throughput, illum, active, lane_pixel):
     )
 
 
+def _hypercube_perm(n_dev: int, bit: int):
+    """Static ppermute pairs for a pairwise exchange along hypercube
+    dimension `bit` (devices whose partner falls outside the mesh swap with
+    themselves, a no-op)."""
+    pairs = []
+    for d in range(n_dev):
+        p = d ^ bit
+        pairs.append((d, p if p < n_dev else d))
+    return pairs
+
+
+def _exchange_wavefront(
+    state, orig, dir, throughput, illum, active, lane_pixel, *, axis, bit,
+    n_dev,
+):
+    """Active-ray rebalancing over ICI (SURVEY §2.3's "ppermute for ray
+    redistribution" slot; the reference has no equivalent — it is strictly
+    single-device, SURVEY §5).
+
+    Each bounce pairs every device with a hypercube partner (dimension
+    rotates with the bounce so load mixes globally over the path loop) and
+    swaps one fixed-size slice of the packed wavefront: the busier side
+    sends its LAST ~surplus/2 active rows (the wavefront is actives-first
+    sorted), the other side sends dead tail rows. Rows are self-contained —
+    RNG state, throughput, illum, and a GLOBAL lane id ride in the packed
+    row — so a migrated ray finishes its path on the new device and its
+    illumination is delivered by the caller's psum-scatter. The exchange is
+    image-exact: per-ray math is device-independent and the per-bounce sort
+    re-normalizes order, so rebalanced and static shardings produce
+    bit-identical frames."""
+    R = orig.shape[0]
+    S = max(min(R // 8, 16384), 8)  # fixed slice: static shapes over ICI
+    perm = _hypercube_perm(n_dev, bit)
+
+    n_act = jnp.sum(active.astype(jnp.int32))
+    cnt_p = jax.lax.ppermute(n_act, axis, perm)
+    surplus = jnp.maximum((n_act - cnt_p) // 2, 0)
+    send_eff = jnp.minimum(surplus, S)
+    start = jnp.clip(n_act - send_eff, 0, R - S)
+
+    f32 = jnp.concatenate([orig, dir, throughput, illum], axis=1)  # (R,12)
+    packed = jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(f32, jnp.int32),
+            state.astype(jnp.int32)[..., None],
+            lane_pixel[..., None],
+            active.astype(jnp.int32)[..., None],
+            jnp.zeros((R, 1), jnp.int32),
+        ],
+        axis=1,
+    )
+    sl = jax.lax.dynamic_slice(packed, (start, 0), (S, 16))
+    recv = jax.lax.ppermute(sl, axis, perm)
+    packed = jax.lax.dynamic_update_slice(packed, recv, (start, 0))
+    f32 = jax.lax.bitcast_convert_type(packed[:, 0:12], jnp.float32)
+    return (
+        packed[:, 12].astype(jnp.uint32),
+        f32[:, 0:3],
+        f32[:, 3:6],
+        f32[:, 6:9],
+        f32[:, 9:12],
+        packed[:, 14] != 0,
+        packed[:, 13],
+    )
+
+
 def trace_path(
     flat: FlatScene,
     meta: SceneMeta,
@@ -349,6 +415,9 @@ def trace_path(
     orig,
     dir,
     state,
+    lane_ids=None,
+    rebalance_axis=None,
+    rebalance_n_dev=1,
 ):
     """One full path per lane starting from the given primary rays.
     Returns (state, illum (R,3), rays_traced int32). NOTE: the returned
@@ -361,7 +430,9 @@ def trace_path(
     illum = jnp.zeros((R, 3), jnp.float32)
     throughput = jnp.ones((R, 3), jnp.float32)
     active = jnp.ones((R,), bool)
-    lane_pixel = jnp.arange(R, dtype=jnp.int32)
+    lane_pixel = (
+        jnp.arange(R, dtype=jnp.int32) if lane_ids is None else lane_ids
+    )
     rays = jnp.int32(0)
     t_min = jnp.float32(0.0)
 
@@ -371,6 +442,32 @@ def trace_path(
             state, orig, dir, throughput, illum, active, lane_pixel = (
                 _sort_wavefront(
                     state, orig, dir, throughput, illum, active, lane_pixel
+                )
+            )
+        if rebalance_axis is not None and rebalance_n_dev > 1:
+            # bounce 0 is uniformly full everywhere; rebalance afterwards,
+            # rotating the hypercube dimension each bounce (each dimension
+            # needs a distinct STATIC ppermute pairing -> lax.switch)
+            dims = max(1, (rebalance_n_dev - 1).bit_length())
+
+            def mk_branch(bit):
+                def br(args):
+                    return _exchange_wavefront(
+                        *args,
+                        axis=rebalance_axis,
+                        bit=bit,
+                        n_dev=rebalance_n_dev,
+                    )
+
+                return br
+
+            args = (state, orig, dir, throughput, illum, active, lane_pixel)
+            idx = jnp.where(bounce >= 1, (bounce - 1) % dims + 1, 0)
+            state, orig, dir, throughput, illum, active, lane_pixel = (
+                jax.lax.switch(
+                    idx,
+                    [lambda a: a] + [mk_branch(1 << i) for i in range(dims)],
+                    args,
                 )
             )
         hit = trace_closest(flat, orig, dir, t_min, active)
@@ -453,11 +550,22 @@ def render_pixels(
     fb_width: int,
     fb_height: int,
     spp: int,
+    scatter_ids=None,
+    scatter_rows: int = 0,
+    rebalance_axis=None,
+    rebalance_n_dev: int = 1,
 ):
     """Render one progressive frame's illumination for the given pixels.
-    Returns (illum (R, 3) averaged over spp, rays_traced int32 scalar)."""
+    Returns (illum averaged over spp, rays_traced int32 scalar).
+
+    Default: illum is (R, 3) in input-ray order. Rebalanced multi-chip mode
+    (scatter_ids + scatter_rows set): lanes may migrate between devices
+    mid-path, so each lane carries a global id and illum is delivered as a
+    (scatter_rows, 3) partial frame (zeros off this device's lanes) for the
+    caller to psum-scatter over the mesh."""
     pixel_id = (pixel_x + pixel_y * fb_width).astype(jnp.uint32)
     R = pixel_id.shape[0]
+    out_rows = scatter_rows if scatter_ids is not None else R
 
     def sample_body(s, carry):
         illum_acc, rays_acc = carry
@@ -469,20 +577,26 @@ def render_pixels(
             view, pixel_x, pixel_y, float(fb_width), float(fb_height), state
         )
         state, illum, lane_pixel, rays = trace_path(
-            flat, meta, trace_closest, trace_any, orig, dir, state
+            flat, meta, trace_closest, trace_any, orig, dir, state,
+            lane_ids=scatter_ids,
+            rebalance_axis=rebalance_axis,
+            rebalance_n_dev=rebalance_n_dev,
         )
         # one scatter restores input-ray order (trace_path reshuffles lanes
         # by coherence each bounce; per-pixel arithmetic is unchanged, so
-        # images stay bit-identical to the unsorted pipeline)
+        # images stay bit-identical to the unsorted pipeline). Rebalanced:
+        # scatter into the global partial frame instead (.add — a migrated
+        # lane's id may sit anywhere, but ids stay unique per device since
+        # every (pixel, sample) lane exists on exactly one device).
         illum = (
-            jnp.zeros_like(illum)
+            jnp.zeros((out_rows, 3), jnp.float32)
             .at[lane_pixel]
             .set(illum, unique_indices=True, indices_are_sorted=False)
         )
         return illum_acc + illum, rays_acc + rays
 
     illum_sum, rays = jax.lax.fori_loop(
-        0, spp, sample_body, (jnp.zeros((R, 3), jnp.float32), jnp.int32(0))
+        0, spp, sample_body, (jnp.zeros((out_rows, 3), jnp.float32), jnp.int32(0))
     )
     return illum_sum / jnp.float32(spp), rays
 

@@ -45,13 +45,22 @@ def make_sharded_render_step(
     fb_width: int,
     fb_height: int,
     spp: int,
+    rebalance: bool = False,
 ):
     """Build a jitted SPMD render step: (flat, view, accum, frame_id) ->
     (accum', rays). `accum` is row-sharded (padded_height(H, n_dev), W, 3);
     the scene is replicated; rays is psum-reduced over ICI. When H does not
     divide over the mesh, the last device's rows past H wrap onto row 0
     (cheap, coherent), are excluded from the ray count, and are cropped at
-    readback — callers allocate accum at padded_height()."""
+    readback — callers allocate accum at padded_height().
+
+    rebalance=True turns on mid-path active-ray redistribution
+    (path_tracer._exchange_wavefront): per bounce, hypercube-paired devices
+    ppermute a slice of the packed wavefront from the busier to the idler
+    side; lanes carry global ids, and illumination is delivered by a
+    psum_scatter of per-device partial frames instead of the local reshape.
+    Images are bit-identical to rebalance=False (per-ray math is device-
+    independent); only the device-time balance changes."""
     n_dev = mesh.devices.size
     shard_h = -(-fb_height // n_dev)
 
@@ -61,20 +70,36 @@ def make_sharded_render_step(
         px = xs.reshape(-1).astype(jnp.uint32)
         py_raw = ys.reshape(-1) + row0
         py = (py_raw % max(fb_height, 1)).astype(jnp.uint32)
-        illum, rays = path_tracer.render_pixels(
-            flat,
-            meta,
-            trace_closest,
-            trace_any,
-            view,
-            frame_id,
-            px,
-            py,
-            fb_width,
-            fb_height,
-            spp,
-        )
-        illum = illum.reshape(shard_h, fb_width, 3)
+        if rebalance and n_dev > 1:
+            # global lane ids index the PADDED frame (wrapped pad rows keep
+            # their own slot so they never double-add into row 0)
+            gids = (py_raw * fb_width + xs.reshape(-1)).astype(jnp.int32)
+            part, rays = path_tracer.render_pixels(
+                flat, meta, trace_closest, trace_any, view, frame_id,
+                px, py, fb_width, fb_height, spp,
+                scatter_ids=gids,
+                scatter_rows=n_dev * shard_h * fb_width,
+                rebalance_axis=AXIS,
+                rebalance_n_dev=n_dev,
+            )
+            illum = jax.lax.psum_scatter(
+                part, AXIS, scatter_dimension=0, tiled=True
+            ).reshape(shard_h, fb_width, 3)
+        else:
+            illum, rays = path_tracer.render_pixels(
+                flat,
+                meta,
+                trace_closest,
+                trace_any,
+                view,
+                frame_id,
+                px,
+                py,
+                fb_width,
+                fb_height,
+                spp,
+            )
+            illum = illum.reshape(shard_h, fb_width, 3)
         accum = path_tracer.progressive_accum(accum, illum, frame_id)
         # scale this device's ray count by its real (uncropped) rows so
         # padding never inflates rays/s

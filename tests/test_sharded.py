@@ -137,3 +137,121 @@ def test_backend_devices_image_equal_with_padding():
     # padded rows must not inflate the ray count
     assert rays[n_dev] <= rays[1]
     assert rays[n_dev] >= int(rays[1] * 0.8)
+
+
+def test_rebalance_image_equal_and_migrates():
+    """`-rebalance` (ppermute mid-path ray redistribution, SURVEY §2.3's
+    ray-redistribution slot): the rebalanced sharded step must produce an
+    image equal to the non-rebalanced sharded step AND to the single-device
+    render — migration only moves WHERE a lane is processed. Uses a
+    deliberately imbalanced framing: cornell fills the lower rows, upper
+    devices mostly miss into the background after bounce 0."""
+    import numpy as np
+
+    from chameleonrt_tpu.engine import path_tracer
+    from chameleonrt_tpu.engine.device_scene import build_device_scene
+    from chameleonrt_tpu.engine.trace_bvh import build_blas_set, make_trace_fns
+    from chameleonrt_tpu.ops import camera as camera_ops
+    from chameleonrt_tpu.parallel import sharded
+    from chameleonrt_tpu.scene.loader import load_scene
+
+    n_dev = min(8, len(jax.devices()))
+    W, H = 24, 8 * n_dev
+    scene = load_scene("proc://cornell")
+    flat, meta = build_device_scene(scene)
+    flat = flat._replace(blas=build_blas_set(flat, meta))
+    tc, ta = make_trace_fns(meta)
+    cam = scene.cameras[0]
+    # tilt the camera so the box occupies only part of the frame
+    d = (cam.center + np.array([0.0, 1.2, 0.0], np.float32)) - cam.position
+    d = d / np.linalg.norm(d)
+    view = camera_ops.compute_view_params(cam.position, d, cam.up, cam.fov_y, W, H)
+
+    ys, xs = jnp.mgrid[0:H, 0:W]
+    illum_s, rays_s = path_tracer.render_pixels(
+        flat, meta, tc, ta, view, jnp.uint32(0),
+        xs.reshape(-1).astype(jnp.uint32), ys.reshape(-1).astype(jnp.uint32),
+        W, H, 1,
+    )
+    img_single = np.asarray(illum_s).reshape(H, W, 3)
+
+    mesh = sharded.make_mesh(jax.devices()[:n_dev])
+    flat_r = sharded.replicate_scene(flat, mesh)
+    imgs = {}
+    rays = {}
+    for reb in (False, True):
+        step = sharded.make_sharded_render_step(
+            meta, tc, ta, mesh, W, H, 1, rebalance=reb
+        )
+        accum = sharded.shard_accum(jnp.zeros((H, W, 3), jnp.float32), mesh)
+        accum, r = step(flat_r, view, accum, jnp.uint32(0))
+        imgs[reb] = np.asarray(accum)
+        rays[reb] = int(r)
+
+    np.testing.assert_allclose(imgs[False], img_single, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(imgs[True], imgs[False], rtol=1e-5, atol=1e-5)
+    # every active lane is traced exactly once per bounce wherever it lives
+    assert rays[True] == rays[False] == int(rays_s)
+
+
+def test_exchange_wavefront_conserves_and_balances():
+    """Unit-level: _exchange_wavefront over a 1D mesh conserves every lane
+    (multiset of lane ids unchanged globally) and moves actives from the
+    busy device toward its hypercube partner."""
+    import numpy as np
+    from functools import partial
+
+    from chameleonrt_tpu.engine.path_tracer import _exchange_wavefront
+    from chameleonrt_tpu.parallel import sharded
+
+    n_dev = min(8, len(jax.devices()))
+    if n_dev < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = sharded.make_mesh(jax.devices()[:n_dev])
+    R = 64
+    rng = np.random.default_rng(0)
+
+    # device 0 all-active, others all-dead; actives-first order per device
+    act = np.zeros((n_dev, R), bool)
+    act[0] = True
+    ids = np.arange(n_dev * R, dtype=np.int32).reshape(n_dev, R)
+    orig = rng.normal(size=(n_dev, R, 3)).astype(np.float32)
+
+    from jax.sharding import PartitionSpec as P
+
+    def body(state, o, d, tp, il, a, lp):
+        return _exchange_wavefront(
+            state, o, d, tp, il, a, lp, axis=sharded.AXIS, bit=1, n_dev=n_dev
+        )
+
+    f = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(sharded.AXIS),) * 7,
+            out_specs=(P(sharded.AXIS),) * 7,
+            check_vma=False,
+        )
+    )
+    state = jnp.zeros((n_dev * R,), jnp.uint32)
+    z3 = jnp.asarray(orig.reshape(-1, 3))
+    out = f(
+        state, z3, z3, z3, z3,
+        jnp.asarray(act.reshape(-1)), jnp.asarray(ids.reshape(-1)),
+    )
+    new_act = np.asarray(out[5]).reshape(n_dev, R)
+    new_ids = np.asarray(out[6]).reshape(n_dev, R)
+    # conservation: the global multiset of lane ids is unchanged
+    assert sorted(new_ids.reshape(-1).tolist()) == sorted(
+        ids.reshape(-1).tolist()
+    )
+    # movement: device 1 (partner of 0 on bit 1) received active lanes
+    assert new_act[1].sum() > 0
+    assert new_act[0].sum() < R
+    # global active count conserved
+    assert new_act.sum() == act.sum()
+    # migrated lanes kept their payload: ids still map to the same orig rows
+    flat_ids = new_ids.reshape(-1)
+    np.testing.assert_allclose(
+        np.asarray(out[1]), orig.reshape(-1, 3)[flat_ids], rtol=0, atol=0
+    )
