@@ -45,10 +45,15 @@ Options:
 \t-resume <state.npz>    Resume progressive accumulation from a checkpoint
 \t-checkpoint <state.npz> Save accumulation state after the last frame
 \t-profile <dir>         Capture a jax profiler trace of the render loop
-\t-display auto|ansi|none Live ANSI progressive preview (auto: on when
-\t                       stdout is a terminal and not benchmarking)
+\t-display auto|ansi|none|http[:port]
+\t                       Live progressive preview: ANSI in-terminal (auto:
+\t                       on when stdout is a terminal and not benchmarking)
+\t                       or a browser viewer at http://host:port/ (MJPEG
+\t                       stream + mouse arcball; default port 8000)
 \t-devices <n|all>       Shard the framebuffer rows over n devices (or all
 \t                       available) with psum'd ray stats over ICI
+\t-rebalance             With -devices: ppermute mid-path active-ray
+\t                       redistribution between devices (divergent scenes)
 """
 
 
@@ -86,6 +91,7 @@ def _parse_args(argv: List[str]):
         "profile": None,
         "display": "auto",
         "devices": 0,
+        "rebalance": False,
     }
     pos: List[str] = []
 
@@ -162,9 +168,17 @@ def _parse_args(argv: List[str]):
             opts["profile"] = argv[i + 1]
             i += 2
         elif a == "-display":
-            if argv[i + 1] not in ("auto", "ansi", "none"):
-                raise ValueError("-display expects auto|ansi|none")
-            opts["display"] = argv[i + 1]
+            v = argv[i + 1]
+            if v not in ("auto", "ansi", "none") and not (
+                v == "http" or v.startswith("http:")
+            ):
+                raise ValueError("-display expects auto|ansi|none|http[:port]")
+            if v.startswith("http:"):
+                try:
+                    int(v.split(":", 1)[1])
+                except ValueError:
+                    raise ValueError("-display http:<port> needs an integer port")
+            opts["display"] = v
             i += 2
         elif a == "-devices":
             v = argv[i + 1]
@@ -172,6 +186,9 @@ def _parse_args(argv: List[str]):
             if opts["devices"] == 0 or opts["devices"] < -1:
                 raise ValueError("-devices expects a positive count or 'all'")
             i += 2
+        elif a == "-rebalance":
+            opts["rebalance"] = True
+            i += 1
         elif not a.startswith("-"):
             pos.append(a)
             i += 1
@@ -230,7 +247,9 @@ def _main(argv: Optional[List[str]] = None) -> int:
         cam = scene.cameras[min(opts["camera"], len(scene.cameras) - 1)]
         eye, center, up, fov = cam.position, cam.center, cam.up, cam.fov_y
 
-    backend = get_backend(opts["backend"], devices=opts["devices"])
+    backend = get_backend(
+        opts["backend"], devices=opts["devices"], rebalance=opts["rebalance"]
+    )
     print(f"Backend: {backend.name}\nDevice: {get_device_brand()}")
     backend.initialize(w, h)
     t0 = time.perf_counter()
@@ -239,6 +258,9 @@ def _main(argv: Optional[List[str]] = None) -> int:
 
     dir = center - eye
     dir = dir / np.linalg.norm(dir)
+
+    if opts["display"] == "http" or opts["display"].startswith("http:"):
+        return run_http_viewer(backend, eye, center, up, fov, opts)
 
     if opts["interactive"]:
         return run_interactive(backend, eye, center, up, fov, opts)
@@ -316,6 +338,69 @@ def _main(argv: Optional[List[str]] = None) -> int:
         print(f"Avg rays/sec: {pretty_print_count(float(np.mean(steady_rays)))}")
     write_image(opts["out"], backend.img)
     print(f"Saved {opts['out']}")
+    return 0
+
+
+def run_http_viewer(backend, eye, center, up, fov, opts) -> int:
+    """Browser viewer loop (`-display http[:port]`): the interactive-window
+    role of the reference (SDL loop + arcball + ImGui overlay,
+    main.cpp:231-380) for headless TPU hosts. Serves the progressive
+    framebuffer as an MJPEG stream and applies mouse arcball events between
+    frames; accumulation restarts on camera motion exactly like the
+    reference (camera_changed -> frame_id = 0, main.cpp:289-291).
+
+    Runs until Ctrl-C or a {type: "quit"} input event; saves -o on exit.
+    """
+    from chameleonrt_tpu.display.http_display import HttpDisplay
+    from chameleonrt_tpu.utils.arcball import ArcballCamera
+
+    port = 8000
+    if ":" in opts["display"]:
+        port = int(opts["display"].split(":", 1)[1])
+    display = HttpDisplay(port=port)
+    print(f"Viewer: http://localhost:{display.port}/  (Ctrl-C to quit)")
+
+    camera = ArcballCamera(eye, center, up)
+    camera_changed = True
+    # only pay readback+encode while someone is watching or motion is fresh
+    frames = 0
+    try:
+        while not display.closed:
+            for ev in display.poll_events():
+                t = ev.get("type")
+                if t == "rotate":
+                    camera.rotate(
+                        (float(ev["x0"]), float(ev["y0"])),
+                        (float(ev["x1"]), float(ev["y1"])),
+                    )
+                elif t == "pan":
+                    camera.pan((float(ev["dx"]), float(ev["dy"])))
+                elif t == "zoom":
+                    camera.zoom(float(ev["amount"]))
+                else:
+                    continue
+                camera_changed = True
+            stats = backend.render(
+                camera.eye,
+                camera.dir,
+                camera.up,
+                fov,
+                camera_changed,
+                readback_framebuffer=True,
+            )
+            camera_changed = False
+            display.set_stats(
+                stats.render_time, stats.rays_per_second, backend.frame_id
+            )
+            display.display(backend)
+            frames += 1
+    except KeyboardInterrupt:
+        pass
+    finally:
+        display.close()
+    if backend.frame_id > 0:
+        write_image(opts["out"], backend.img)
+        print(f"\nSaved {opts['out']} after {frames} frames")
     return 0
 
 

@@ -110,7 +110,9 @@ class AnsiDisplay(Display):
 def make_display(kind: str, **kwargs) -> Display:
     """Display factory (the make_display plugin-table seam,
     reference util/render_plugin.h:23-41)."""
-    kinds = {"png": PngSequenceDisplay, "ansi": AnsiDisplay}
+    from chameleonrt_tpu.display.http_display import HttpDisplay
+
+    kinds = {"png": PngSequenceDisplay, "ansi": AnsiDisplay, "http": HttpDisplay}
     if kind not in kinds:
         raise ValueError(f"unknown display '{kind}'; have {sorted(kinds)}")
     return kinds[kind](**kwargs)

@@ -118,3 +118,150 @@ class TestInteractiveCli:
         assert "ms/frame" in cap  # stats
         assert "unknown command 'bogus'" in cap
         assert out_png.exists() and save_png.exists()
+
+
+class TestHttpDisplay:
+    """Browser-viewer display (display/http_display.py): page, MJPEG
+    stream, stats JSON, and the input-event path."""
+
+    def _start(self):
+        from chameleonrt_tpu.display.http_display import HttpDisplay
+
+        return HttpDisplay(port=0)  # ephemeral port
+
+    def test_page_stats_input_and_stream(self):
+        import json
+        import urllib.request
+
+        disp = self._start()
+        try:
+            base = f"http://127.0.0.1:{disp.port}"
+            page = urllib.request.urlopen(f"{base}/", timeout=5).read()
+            assert b"/stream" in page and b"/stats" in page
+            disp.set_stats(12.5, 3.2e6, 7)
+            fake = _FakeBackend()
+            disp.display(fake)
+            stats = json.loads(
+                urllib.request.urlopen(f"{base}/stats", timeout=5).read()
+            )
+            assert stats["ms_per_frame"] == 12.5
+            assert stats["frame_id"] == 7
+            assert stats["width"] == fake.img.shape[1]
+            # input events round-trip into poll_events
+            req = urllib.request.Request(
+                f"{base}/input",
+                data=json.dumps(
+                    {"type": "rotate", "x0": 0, "y0": 0, "x1": 0.1, "y1": 0.2}
+                ).encode(),
+                method="POST",
+            )
+            assert urllib.request.urlopen(req, timeout=5).status == 204
+            evs = disp.poll_events()
+            assert evs and evs[0]["type"] == "rotate"
+            # stream yields a decodable JPEG part
+            resp = urllib.request.urlopen(f"{base}/stream", timeout=5)
+            assert "multipart/x-mixed-replace" in resp.headers["Content-Type"]
+            line = resp.readline()  # --crtframe
+            assert b"crtframe" in line
+            headers = {}
+            while True:
+                ln = resp.readline().strip()
+                if not ln:
+                    break
+                k, v = ln.split(b":", 1)
+                headers[k.strip().lower()] = v.strip()
+            n = int(headers[b"content-length"])
+            jpeg = resp.read(n)
+            from chameleonrt_tpu.utils.jpeg import decode_jpeg
+
+            img = decode_jpeg(jpeg)
+            assert img.shape == (fake.img.shape[0], fake.img.shape[1], 3)
+        finally:
+            disp.close()
+
+    def test_quit_event_closes(self):
+        import json
+        import urllib.request
+
+        disp = self._start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{disp.port}/input",
+                data=json.dumps({"type": "quit"}).encode(),
+                method="POST",
+            )
+            urllib.request.urlopen(req, timeout=5)
+            assert disp.closed
+        finally:
+            disp.close()
+
+
+class TestHttpViewerCli:
+    def test_viewer_loop_renders_and_quits(self, tmp_path, monkeypatch):
+        """run_http_viewer end-to-end on the reference backend: render a
+        couple of frames, drive one arcball event over HTTP, then quit."""
+        import json
+        import threading
+        import urllib.request
+
+        from chameleonrt_tpu import cli
+        from chameleonrt_tpu.core import get_backend
+        from chameleonrt_tpu.scene.loader import load_scene
+
+        scene = load_scene("proc://cornell")
+        backend = get_backend("reference")
+        backend.initialize(16, 16)
+        backend.set_scene(scene)
+        cam = scene.cameras[0]
+
+        ports = {}
+        from chameleonrt_tpu.display.http_display import HttpDisplay
+
+        orig_init = HttpDisplay.__init__
+
+        def patched(self, port=8000, quality=80):
+            orig_init(self, port=0, quality=quality)
+            ports["port"] = self.port
+
+        monkeypatch.setattr(HttpDisplay, "__init__", patched)
+
+        def driver():
+            import time as _t
+
+            for _ in range(100):
+                if "port" in ports:
+                    break
+                _t.sleep(0.05)
+            base = f"http://127.0.0.1:{ports['port']}"
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    f"{base}/input",
+                    data=json.dumps(
+                        {"type": "rotate", "x0": 0, "y0": 0, "x1": 0.2, "y1": 0}
+                    ).encode(),
+                    method="POST",
+                ),
+                timeout=5,
+            )
+            _t.sleep(0.3)
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    f"{base}/input",
+                    data=json.dumps({"type": "quit"}).encode(),
+                    method="POST",
+                ),
+                timeout=5,
+            )
+
+        th = threading.Thread(target=driver, daemon=True)
+        th.start()
+        out = tmp_path / "viewer.png"
+        opts = {"display": "http:0", "out": str(out)}
+        d = cam.center - cam.position
+        d = d / np.linalg.norm(d)
+        rc = cli.run_http_viewer(
+            backend, cam.position, cam.center, cam.up, cam.fov_y, opts
+        )
+        th.join(timeout=10)
+        assert rc == 0
+        assert out.exists()
