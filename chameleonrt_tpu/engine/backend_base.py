@@ -64,13 +64,22 @@ class JaxRenderBackend(RenderBackend):
         avail = len(jax.devices())
         return avail if want < 0 else min(want, avail)
 
+    def _sharded_chunks(self) -> int:
+        """Row chunks per device shard under sharding: the execution wall
+        is per device launch, and each device handles 1/n_dev of the frame,
+        so the single-device chunk count divides by the mesh size."""
+        n_dev = self._n_devices()
+        return max(1, -(-self._render_chunks() // n_dev))
+
     def _accum_height(self) -> int:
         n_dev = self._n_devices()
         if n_dev <= 1:
             return self.fb_height
         from chameleonrt_tpu.parallel import sharded
 
-        return sharded.padded_height(self.fb_height, n_dev)
+        return sharded.padded_height(
+            self.fb_height, n_dev, self._sharded_chunks()
+        )
 
     def _fresh_accum(self):
         accum = jnp.zeros((self._accum_height(), self.fb_width, 3), jnp.float32)
@@ -145,8 +154,8 @@ class JaxRenderBackend(RenderBackend):
             # multi-chip: row-sharded SPMD step over a device mesh with
             # psum'd ray stats (SURVEY.md §2.3 — the would-be-NCCL slot).
             # Row chunking (the single-device execution-wall workaround)
-            # does not compose with sharding; sharded frames are 1/n_dev
-            # the work per device anyway.
+            # composes with sharding: each device's shard splits into
+            # _sharded_chunks() separate launches.
             from chameleonrt_tpu.parallel import sharded
 
             self._mesh = sharded.make_mesh(jax.devices()[:n_dev])
@@ -154,6 +163,7 @@ class JaxRenderBackend(RenderBackend):
             return sharded.make_sharded_render_step(
                 meta, trace_closest, trace_any, self._mesh, W, H, spp,
                 rebalance=self.rebalance,
+                chunks=self._sharded_chunks(),
             )
         chunks = self._render_chunks()
         # Distinct per-backend program names so profiles and compile-cache

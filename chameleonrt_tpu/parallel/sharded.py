@@ -31,10 +31,13 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), (AXIS,))
 
 
-def padded_height(fb_height: int, n_dev: int) -> int:
+def padded_height(fb_height: int, n_dev: int, chunks: int = 1) -> int:
     """Rows per frame after padding H up to a multiple of the device count
-    (every device renders the same shard shape; XLA needs static shapes)."""
-    return -(-fb_height // n_dev) * n_dev
+    (every device renders the same shard shape; XLA needs static shapes).
+    With row chunking each device's shard additionally divides into
+    `chunks` equal launches, so H pads to a multiple of n_dev * chunks."""
+    q = n_dev * max(1, chunks)
+    return -(-fb_height // q) * q
 
 
 def make_sharded_render_step(
@@ -46,6 +49,7 @@ def make_sharded_render_step(
     fb_height: int,
     spp: int,
     rebalance: bool = False,
+    chunks: int = 1,
 ):
     """Build a jitted SPMD render step: (flat, view, accum, frame_id) ->
     (accum', rays). `accum` is row-sharded (padded_height(H, n_dev), W, 3);
@@ -60,9 +64,22 @@ def make_sharded_render_step(
     side; lanes carry global ids, and illumination is delivered by a
     psum_scatter of per-device partial frames instead of the local reshape.
     Images are bit-identical to rebalance=False (per-ray math is device-
-    independent); only the device-time balance changes."""
+    independent); only the device-time balance changes.
+
+    chunks>1 splits each device's shard rows into that many separate
+    device executions per frame (composing the single-device execution-
+    wall workaround with sharding, VERDICT r3 #4): a traced row-offset
+    argument keeps ONE compile for all chunks, and a final sharded
+    assemble step concatenates each device's chunk rows locally and runs
+    the progressive accumulation. Callers must allocate accum at
+    padded_height(H, n_dev, chunks)."""
     n_dev = mesh.devices.size
-    shard_h = -(-fb_height // n_dev)
+    shard_h = padded_height(fb_height, n_dev, chunks) // n_dev
+    if chunks > 1:
+        return _make_sharded_chunked_step(
+            meta, trace_closest, trace_any, mesh, fb_width, fb_height, spp,
+            rebalance, chunks, shard_h,
+        )
 
     def step_local(flat: FlatScene, view: camera_ops.ViewParams, accum, frame_id):
         row0 = jax.lax.axis_index(AXIS) * shard_h
@@ -123,6 +140,103 @@ def make_sharded_render_step(
         donate_argnums=(2,),
     )
     return step
+
+
+def _make_sharded_chunked_step(
+    meta, trace_closest, trace_any, mesh, fb_width, fb_height, spp,
+    rebalance, chunks, shard_h,
+):
+    """Row-chunked sharded rendering (see make_sharded_render_step). Each
+    chunk is its own jitted SPMD execution (the remote-TPU worker kills
+    executions past ~60 s; a big scene's full-shard frame would trip it);
+    the assemble step runs device-local concatenation + accumulation."""
+    n_dev = mesh.devices.size
+    ch_h = shard_h // chunks
+
+    def chunk_local(flat, view, frame_id, y_off):
+        row0 = jax.lax.axis_index(AXIS) * shard_h + y_off
+        ys, xs = jnp.mgrid[0:ch_h, 0:fb_width]
+        px = xs.reshape(-1).astype(jnp.uint32)
+        py_raw = ys.reshape(-1) + row0
+        py = (py_raw % max(fb_height, 1)).astype(jnp.uint32)
+        if rebalance and n_dev > 1:
+            gids = (py_raw * fb_width + xs.reshape(-1)).astype(jnp.int32)
+            # global partial frame covers the full padded height; scatter
+            # ids use the uncropped row so pad rows keep their own slot
+            part, rays = path_tracer.render_pixels(
+                flat, meta, trace_closest, trace_any, view, frame_id,
+                px, py, fb_width, fb_height, spp,
+                scatter_ids=gids,
+                scatter_rows=n_dev * shard_h * fb_width,
+                rebalance_axis=AXIS,
+                rebalance_n_dev=n_dev,
+            )
+            # each device owns its SHARD (not chunk) of the global frame;
+            # slice out this chunk's rows after the scatter-reduce
+            shard_part = jax.lax.psum_scatter(
+                part, AXIS, scatter_dimension=0, tiled=True
+            ).reshape(shard_h, fb_width, 3)
+            # every device renders the same y_off window of its shard, so
+            # every lane's global id (migrated or not) falls inside some
+            # device's [row0 + y_off, row0 + y_off + ch_h) rows — this
+            # chunk's slice of the reduced shard holds all of them
+            y0 = y_off.astype(jnp.int32)
+            illum = jax.lax.dynamic_slice(
+                shard_part, (y0, jnp.int32(0), jnp.int32(0)), (ch_h, fb_width, 3)
+            )
+        else:
+            illum, rays = path_tracer.render_pixels(
+                flat, meta, trace_closest, trace_any, view, frame_id,
+                px, py, fb_width, fb_height, spp,
+            )
+            illum = illum.reshape(ch_h, fb_width, 3)
+        real = jnp.clip(
+            jnp.int32(fb_height) - (jax.lax.axis_index(AXIS) * shard_h + y_off).astype(jnp.int32),
+            0,
+            ch_h,
+        )
+        rays = rays * real // ch_h
+        rays = jax.lax.psum(rays, AXIS)
+        return illum, rays
+
+    chunk_step = jax.jit(
+        jax.shard_map(
+            chunk_local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P()),
+            out_specs=(P(AXIS, None, None), P()),
+            check_vma=False,
+        )
+    )
+
+    def assemble_local(accum, frame_id, *parts):
+        illum = jnp.concatenate(parts, axis=0)  # (shard_h, W, 3)
+        return path_tracer.progressive_accum(accum, illum, frame_id)
+
+    assemble = jax.jit(
+        jax.shard_map(
+            assemble_local,
+            mesh=mesh,
+            in_specs=(P(AXIS, None, None), P()) + (P(AXIS, None, None),) * chunks,
+            out_specs=P(AXIS, None, None),
+            check_vma=False,
+        ),
+        donate_argnums=(0,),
+    )
+
+    def render_step(flat, view, accum, frame_id):
+        import numpy as np
+
+        parts = []
+        rays = jnp.int32(0)
+        for c in range(chunks):
+            illum_c, rays_c = chunk_step(flat, view, frame_id, np.uint32(c * ch_h))
+            jax.block_until_ready(illum_c)  # separate device executions
+            parts.append(illum_c)
+            rays = rays + rays_c
+        return assemble(accum, frame_id, *parts), rays
+
+    return render_step
 
 
 def replicate_scene(flat: FlatScene, mesh: Mesh) -> FlatScene:

@@ -255,3 +255,119 @@ def test_exchange_wavefront_conserves_and_balances():
     np.testing.assert_allclose(
         np.asarray(out[1]), orig.reshape(-1, 3)[flat_ids], rtol=0, atol=0
     )
+
+
+def test_chunked_sharded_step_matches_unchunked():
+    """Row chunking composed with sharding (VERDICT r3 #4): the chunked
+    sharded step (each device shard split into multiple launches) must
+    reproduce the unchunked sharded image, including with rebalancing and
+    with H that doesn't divide evenly."""
+    import numpy as np
+
+    from chameleonrt_tpu.engine import path_tracer
+    from chameleonrt_tpu.engine.device_scene import build_device_scene
+    from chameleonrt_tpu.engine.trace_bvh import build_blas_set, make_trace_fns
+    from chameleonrt_tpu.ops import camera as camera_ops
+    from chameleonrt_tpu.parallel import sharded
+    from chameleonrt_tpu.scene.loader import load_scene
+
+    n_dev = min(4, len(jax.devices()))
+    W, H = 16, 8 * n_dev + 5  # H does not divide over mesh or chunks
+    scene = load_scene("proc://cornell")
+    flat, meta = build_device_scene(scene)
+    flat = flat._replace(blas=build_blas_set(flat, meta))
+    tc, ta = make_trace_fns(meta)
+    cam = scene.cameras[0]
+    d = cam.center - cam.position
+    d = d / np.linalg.norm(d)
+    view = camera_ops.compute_view_params(cam.position, d, cam.up, cam.fov_y, W, H)
+
+    mesh = sharded.make_mesh(jax.devices()[:n_dev])
+    flat_r = sharded.replicate_scene(flat, mesh)
+
+    results = {}
+    for chunks, reb in ((1, False), (3, False), (2, True)):
+        Hp = sharded.padded_height(H, n_dev, chunks)
+        step = sharded.make_sharded_render_step(
+            meta, tc, ta, mesh, W, H, 1, rebalance=reb, chunks=chunks
+        )
+        accum = sharded.shard_accum(jnp.zeros((Hp, W, 3), jnp.float32), mesh)
+        accum, rays = step(flat_r, view, accum, jnp.uint32(0))
+        results[(chunks, reb)] = (np.asarray(accum)[:H], int(rays))
+
+    base_img, base_rays = results[(1, False)]
+    for key, (img, rays) in results.items():
+        np.testing.assert_allclose(img, base_img, rtol=1e-5, atol=1e-5, err_msg=str(key))
+        # the pad-row ray-stat correction is a proportional estimate
+        # (rays * real_rows // window_rows); chunked windows round it at
+        # finer granularity, so the integer stat may differ by a hair
+        assert abs(rays - base_rays) <= max(3, base_rays // 100), (key, rays, base_rays)
+
+
+def test_shardmap_packet_kernels_interpret():
+    """shard_map x Pallas packet kernels (interpret mode on the CPU mesh):
+    the exact combination the pod path would run — persistent kernels
+    invoked INSIDE a shard_map body — compiles, executes, and matches the
+    XLA path on every lane."""
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from chameleonrt_tpu import native
+    from chameleonrt_tpu.ops import traverse
+    from chameleonrt_tpu.ops import traverse_packet as tp
+    from chameleonrt_tpu.ops.lbvh import PackedBvh
+    from chameleonrt_tpu.parallel import sharded
+
+    if native.get_lib() is None:
+        pytest.skip("native builder unavailable")
+    n_dev = min(4, len(jax.devices()))
+    rng = np.random.default_rng(11)
+    T = 600
+    v0 = rng.uniform(-4, 4, (T, 3)).astype(np.float32)
+    e1 = rng.uniform(-0.5, 0.5, (T, 3)).astype(np.float32)
+    e2 = rng.uniform(-0.5, 0.5, (T, 3)).astype(np.float32)
+    res = native.build_bvh_pair_native(v0, e1, e2, 4)
+    nodes2, nodes4, leaf_rows, depth2, stack4 = res
+    pbvh = PackedBvh(
+        nodes=jnp.asarray(nodes4),
+        leaf_rows=jnp.asarray(leaf_rows),
+        max_depth=stack4,
+    )
+    pbvh2 = PackedBvh(
+        nodes=jnp.asarray(nodes2),
+        leaf_rows=jnp.asarray(leaf_rows),
+        max_depth=depth2,
+    )
+
+    R = n_dev * tp.K * 2 * 128 // 2  # a couple of packets per device
+    orig = rng.uniform(-5, 5, (R, 3)).astype(np.float32)
+    dirs = rng.normal(size=(R, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    tmin = np.zeros((R,), np.float32)
+    act = np.ones((R,), bool)
+
+    mesh = sharded.make_mesh(jax.devices()[:n_dev])
+
+    def body(o, d, tm, a):
+        t, prim, u, v = tp.traverse_closest_persistent(
+            pbvh, o, d, tm, a, interpret=True
+        )
+        return t, prim
+
+    f = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(sharded.AXIS, None), P(sharded.AXIS, None), P(sharded.AXIS), P(sharded.AXIS)),
+            out_specs=(P(sharded.AXIS), P(sharded.AXIS)),
+            check_vma=False,
+        )
+    )
+    t_sh, prim_sh = f(
+        jnp.asarray(orig), jnp.asarray(dirs), jnp.asarray(tmin), jnp.asarray(act)
+    )
+    t_x, prim_x, _, _ = traverse.traverse_closest(
+        pbvh2, jnp.asarray(orig), jnp.asarray(dirs), jnp.asarray(tmin), jnp.asarray(act)
+    )
+    np.testing.assert_array_equal(np.asarray(prim_sh), np.asarray(prim_x))
+    np.testing.assert_allclose(np.asarray(t_sh), np.asarray(t_x), rtol=1e-6, atol=1e-6)
