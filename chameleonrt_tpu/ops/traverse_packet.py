@@ -200,16 +200,25 @@ def _mt(lrows, L, p_sub, ox, oy, oz, dx, dy, dz, t_min, t_cap):
 
 def _packet_reduce_max(x, p_sub):
     """(K*p_sub,128) f32 -> (K,) per-packet max (interleaved rows: row r is
-    packet r % K, so reshape to (p_sub, K) and reduce the leading axis)."""
+    packet r % K). PRE-FOLDS the p_sub sub-row blocks with cheap full-vreg
+    elementwise maxes so the expensive cross-lane shuffle tree runs on
+    (K,128) instead of (K*p_sub,128) — bit-exact (max is associative and
+    commutative; kernel values are NaN-free by the _safe_inv contract).
+    Measured on v5e (scripts/roofline_probe.py step): part of the
+    fused+psfold set that cuts the node step 1709 -> 1352 ns."""
     kk = x.shape[0] // p_sub
-    lanes = jnp.max(x, axis=1)  # (K*p_sub,)
-    return jnp.max(lanes.reshape(p_sub, kk), axis=0)
+    f = x[:kk]
+    for p in range(1, p_sub):
+        f = jnp.maximum(f, x[p * kk : (p + 1) * kk])
+    return jnp.max(f, axis=1)  # (kk,)
 
 
 def _packet_reduce_min(x, p_sub):
     kk = x.shape[0] // p_sub
-    lanes = jnp.min(x, axis=1)
-    return jnp.min(lanes.reshape(p_sub, kk), axis=0)
+    f = x[:kk]
+    for p in range(1, p_sub):
+        f = jnp.minimum(f, x[p * kk : (p + 1) * kk])
+    return jnp.min(f, axis=1)
 
 
 def _phase_counts(cur_ref):
@@ -741,7 +750,15 @@ def _make_persistent_kernel(
         assert not args, f"{len(args)} unconsumed kernel refs"
 
         iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
-        iota_cols = jax.lax.broadcasted_iota(jnp.int32, (K, depth), 1)
+        # LANE-major stepping state (round 4): the per-slot decision math
+        # runs on (1,K)/(depth,K) shapes — ONE vreg per op — instead of
+        # (K,1)/(K,depth) sublane-tiled shapes (8 vregs per op at K=64).
+        # Scalar-addressed refs (cur/obj/aux, read per-slot by the fetch
+        # and swap/entry/restore blocks) stay (K,1); the stepping crosses
+        # layouts with one small transpose each way per iteration.
+        # Measured (scripts/roofline_probe.py step): node step 1709 ->
+        # 1352 ns/iter with the fused+psfold reduces included.
+        iota_stack = jax.lax.broadcasted_iota(jnp.int32, (depth, K), 0)
 
         def _set1(ref, k, val, dtype=jnp.int32):
             ref[pl.ds(k, 1), :] = jnp.full((1, 1), val, dtype)
@@ -852,7 +869,7 @@ def _make_persistent_kernel(
         # --- initial fill: slots 0..min(K, n_packets)-1 take packets 0..
         live0 = iota_k < min(K, n_packets)
         cur_ref[:] = jnp.where(live0, root, _DONE)
-        sp_ref[:] = jnp.zeros((K, 1), jnp.int32)
+        sp_ref[:] = jnp.zeros((1, K), jnp.int32)
         if unified:
             obj_ref[:] = jnp.zeros((K, 1), jnp.int32)
             aux_ref[:] = jnp.full((K, 1), _DONE, jnp.int32)
@@ -917,7 +934,9 @@ def _make_persistent_kernel(
                             _set1(obj_ref, k, 0)
                         slotpkt_ref[k] = q
                         _set1(cur_ref, k, root)
-                        _set1(sp_ref, k, 0)
+                        # sp reset happens vectorized at the call site
+                        # (sp_ref is lane-major; per-slot writes would be
+                        # lane-indexed scalar stores)
                         queue_ref[0] = q + 1
 
                     @pl.when(
@@ -1042,46 +1061,51 @@ def _make_persistent_kernel(
             # per-child slab tests + per-packet reductions (arity-generic:
             # the BVH4 layout packs 4 children per row at cols [6c, 6c+6),
             # codes at cols [6*arity, 7*arity); empty slots are lo = hi =
-            # 1e30 rows that can never pass the slab test)
+            # 1e30 rows that can never pass the slab test).
+            # closest: the hit and entry reduces FUSE into one min-reduce
+            # per child — key = min(where(hit, entry, BIG)), with key==BIG
+            # meaning "no hit" (bit-identical to the two-reduce form: a
+            # hit whose entry equals BIG produced key==BIG either way).
             ch_hit = []
-            ch_ent = []
+            ch_keys = []
             for c in range(arity):
                 hc, ec = _slab(
                     rows, 6 * c, p_sub, ox, oy, oz, ix, iy, iz, t_min, t_cap
                 )
-                ch_hit.append(
-                    _packet_reduce_max(jnp.where(hc, 1.0, 0.0), p_sub).reshape(
-                        K, 1
-                    )
-                    > 0.0
-                )
                 if closest:
-                    ch_ent.append(
+                    ch_keys.append(
                         _packet_reduce_min(
                             jnp.where(hc, ec, _BIG), p_sub
                         ).reshape(K, 1)
                     )
-            codes = [
-                pltpu.bitcast(
-                    rows[:, 6 * arity + c : 6 * arity + c + 1], jnp.int32
-                )
-                for c in range(arity)
-            ]
+                else:
+                    ch_hit.append(
+                        _packet_reduce_max(jnp.where(hc, 1.0, 0.0), p_sub).reshape(
+                            K, 1
+                        )
+                    )
 
-            # --- vectorized slot stepping: all K decisions as (K,1) ops
-            cur = cur_ref[:]
-            sp = sp_ref[:]
+            # --- vectorized slot stepping, LANE-major (see iota_stack note)
+            cur = cur_ref[:].T  # (1,K)
+            sp = sp_ref[:]  # (1,K)
             was_int = cur >= 0
+            codesT = pltpu.bitcast(
+                rows[:, 6 * arity : 7 * arity], jnp.int32
+            ).T  # (arity,K)
+            codes = [codesT[c : c + 1, :] for c in range(arity)]
             if not closest:
-                early = _packet_reduce_min(occ, p_sub).reshape(K, 1) > 0.0
+                early = (
+                    _packet_reduce_min(occ, p_sub).reshape(K, 1).T > 0.0
+                )
             if closest:
                 # order ALL hit children by entry distance with a sorting
-                # network over (K,1) columns (cheap VPU ops): descend the
+                # network over (1,K) rows (one-vreg VPU ops): descend the
                 # nearest, push the rest far-to-near so pops run near-first
                 # — tightest best-t culling, and the same exploration order
                 # as the XLA oracle (ops/traverse._node_phase4), so
                 # near-tie prims resolve identically on both paths.
-                keys = [jnp.where(ch_hit[c], ch_ent[c], _BIG) for c in range(arity)]
+                keysT = jnp.concatenate(ch_keys, axis=1).T  # (arity,K)
+                keys = [keysT[c : c + 1, :] for c in range(arity)]
                 kcodes = list(codes)
 
                 def _cswap(i, j):
@@ -1100,30 +1124,32 @@ def _make_persistent_kernel(
                 best_hit = keys[0] < _BIG
                 best_code = kcodes[0]
                 # push far-to-near — one-hot masked writes into the
-                # (K, depth) stacks
+                # (depth, K) stacks
                 sp2 = sp
                 for c in range(arity - 1, 0, -1):
                     pm = (keys[c] < _BIG) & was_int
                     stack_ref[:] = jnp.where(
-                        (iota_cols == sp2) & pm, kcodes[c], stack_ref[:]
+                        (iota_stack == sp2) & pm, kcodes[c], stack_ref[:]
                     )
                     sp2 = sp2 + pm.astype(jnp.int32)
             else:
                 # any-hit: unordered — first hit child descends, the rest
                 # push in child order
-                best_hit = ch_hit[0]
+                hitT = jnp.concatenate(ch_hit, axis=1).T  # (arity,K) f32
+                chit = [hitT[c : c + 1, :] > 0.0 for c in range(arity)]
+                best_hit = chit[0]
                 best_code = codes[0]
-                best_i = jnp.zeros((K, 1), jnp.int32)
+                best_i = jnp.zeros((1, K), jnp.int32)
                 for c in range(1, arity):
-                    better = ch_hit[c] & jnp.logical_not(best_hit)
+                    better = chit[c] & jnp.logical_not(best_hit)
                     best_code = jnp.where(better, codes[c], best_code)
                     best_i = jnp.where(better, c, best_i)
-                    best_hit = best_hit | ch_hit[c]
+                    best_hit = best_hit | chit[c]
                 sp2 = sp
                 for c in range(arity):
-                    pm = ch_hit[c] & was_int & (best_i != c)
+                    pm = chit[c] & was_int & (best_i != c)
                     stack_ref[:] = jnp.where(
-                        (iota_cols == sp2) & pm, codes[c], stack_ref[:]
+                        (iota_stack == sp2) & pm, codes[c], stack_ref[:]
                     )
                     sp2 = sp2 + pm.astype(jnp.int32)
             want_pop = was_int & jnp.logical_not(best_hit)
@@ -1133,8 +1159,8 @@ def _make_persistent_kernel(
                 can_pop = want_pop & jnp.logical_not(early) & (sp2 > 0)
             spm = jnp.maximum(sp2 - 1, 0)
             popped = jnp.sum(
-                jnp.where(iota_cols == spm, stack_ref[:], 0),
-                axis=1,
+                jnp.where(iota_stack == spm, stack_ref[:], 0),
+                axis=0,
                 keepdims=True,
             )
             nxt = jnp.where(
@@ -1152,19 +1178,22 @@ def _make_persistent_kernel(
                 # object-space slot popping back to a TLAS row: restore
                 need_rest = (
                     was_int
-                    & (obj_ref[:] == 1)
+                    & (obj_ref[:].T == 1)
                     & jnp.logical_not(retired)
                     & (nxt >= tlas_lo)
                 )
                 nrest = jnp.sum(need_rest.astype(jnp.int32))
-                aux_ref[:] = nxt
+                aux_ref[:] = nxt.T
                 cur_ref[:] = jnp.where(
                     retired, _RETIRE, jnp.where(need_rest, _RESTORE, nxt)
-                )
+                ).T
             else:
-                cur_ref[:] = jnp.where(retired, _RETIRE, nxt)
+                cur_ref[:] = jnp.where(retired, _RETIRE, nxt).T
             sp_ref[:] = jnp.where(can_pop, spm, sp2)
             _swap_block(nret)
+            # refilled slots restart with an empty stack (replaces the
+            # swap block's per-slot scalar sp resets)
+            sp_ref[:] = jnp.where(retired, 0, sp_ref[:])
             if unified:
                 _restore_block(nrest)
 
@@ -1221,9 +1250,9 @@ def _make_persistent_kernel(
                     pltpu.bitcast(lrows[:, 13:14], jnp.int32) if closest else None
                 )
 
-            # --- vectorized slot stepping
-            cur = cur_ref[:]
-            sp = sp_ref[:]
+            # --- vectorized slot stepping, LANE-major (see iota_stack note)
+            cur = cur_ref[:].T  # (1,K)
+            sp = sp_ref[:]  # (1,K)
             at_leaf = (cur < 0) & (cur > _DONE)
             if unified:
                 leaf_code = -cur - 1
@@ -1234,12 +1263,12 @@ def _make_persistent_kernel(
             if closest:
                 can_pop = is_tri & (sp > 0)
             else:
-                early = _packet_reduce_min(occ, p_sub).reshape(K, 1) > 0.0
+                early = _packet_reduce_min(occ, p_sub).reshape(K, 1).T > 0.0
                 can_pop = is_tri & jnp.logical_not(early) & (sp > 0)
             spm = jnp.maximum(sp - 1, 0)
             popped = jnp.sum(
-                jnp.where(iota_cols == spm, stack_ref[:], 0),
-                axis=1,
+                jnp.where(iota_stack == spm, stack_ref[:], 0),
+                axis=0,
                 keepdims=True,
             )
             nxt = jnp.where(is_tri, jnp.where(can_pop, popped, _DONE), cur)
@@ -1254,24 +1283,25 @@ def _make_persistent_kernel(
             if unified:
                 need_rest = (
                     is_tri
-                    & (obj_ref[:] == 1)
+                    & (obj_ref[:].T == 1)
                     & jnp.logical_not(retired)
                     & (nxt >= tlas_lo)
                 )
                 nrest = jnp.sum(need_rest.astype(jnp.int32))
                 nent = jnp.sum(is_entry.astype(jnp.int32))
-                aux_ref[:] = nxt
+                aux_ref[:] = nxt.T
                 cur_ref[:] = jnp.where(
                     is_entry,
                     _ENTRY,
                     jnp.where(
                         retired, _RETIRE, jnp.where(need_rest, _RESTORE, nxt)
                     ),
-                )
+                ).T
             else:
-                cur_ref[:] = jnp.where(retired, _RETIRE, nxt)
+                cur_ref[:] = jnp.where(retired, _RETIRE, nxt).T
             sp_ref[:] = jnp.where(can_pop, spm, sp)
             _swap_block(nret)
+            sp_ref[:] = jnp.where(retired, 0, sp_ref[:])
             if unified:
                 _entry_block(nent, lrows, roots_col, insts_col)
                 _restore_block(nrest)
@@ -1338,41 +1368,41 @@ def _make_persistent_kernel(
                 t_cap = jnp.where(occ > 0.0, -_BIG, w_tmax[:])
 
             # --- node work (int slots; leaf slots' garbage is masked off)
+            # closest: fused hit+entry reduce, same as node_iter
             ch_hit = []
-            ch_ent = []
+            ch_keys = []
             for c in range(arity):
                 hc, ec = _slab(
                     rows, 6 * c, p_sub, ox, oy, oz, ix, iy, iz, t_min, t_cap
                 )
-                ch_hit.append(
-                    _packet_reduce_max(jnp.where(hc, 1.0, 0.0), p_sub).reshape(
-                        K, 1
-                    )
-                    > 0.0
-                )
                 if closest:
-                    ch_ent.append(
+                    ch_keys.append(
                         _packet_reduce_min(
                             jnp.where(hc, ec, _BIG), p_sub
                         ).reshape(K, 1)
                     )
-            codes = [
-                pltpu.bitcast(
-                    rows[:, 6 * arity + c : 6 * arity + c + 1], jnp.int32
-                )
-                for c in range(arity)
-            ]
+                else:
+                    ch_hit.append(
+                        _packet_reduce_max(jnp.where(hc, 1.0, 0.0), p_sub).reshape(
+                            K, 1
+                        )
+                    )
 
-            # --- combined vectorized stepping
-            cur = cur_ref[:]
-            sp = sp_ref[:]
+            # --- combined vectorized stepping, LANE-major (see iota_stack)
+            cur = cur_ref[:].T  # (1,K)
+            sp = sp_ref[:]  # (1,K)
             was_int = cur >= 0
             at_leaf = (cur < 0) & (cur > _DONE)
             stepped = was_int | at_leaf
+            codesT = pltpu.bitcast(
+                rows[:, 6 * arity : 7 * arity], jnp.int32
+            ).T  # (arity,K)
+            codes = [codesT[c : c + 1, :] for c in range(arity)]
             if not closest:
-                early = _packet_reduce_min(occ, p_sub).reshape(K, 1) > 0.0
+                early = _packet_reduce_min(occ, p_sub).reshape(K, 1).T > 0.0
             if closest:
-                keys = [jnp.where(ch_hit[c], ch_ent[c], _BIG) for c in range(arity)]
+                keysT = jnp.concatenate(ch_keys, axis=1).T  # (arity,K)
+                keys = [keysT[c : c + 1, :] for c in range(arity)]
                 kcodes = list(codes)
 
                 def _cswap(i, j):
@@ -1394,23 +1424,25 @@ def _make_persistent_kernel(
                 for c in range(arity - 1, 0, -1):
                     pm = (keys[c] < _BIG) & was_int
                     stack_ref[:] = jnp.where(
-                        (iota_cols == sp2) & pm, kcodes[c], stack_ref[:]
+                        (iota_stack == sp2) & pm, kcodes[c], stack_ref[:]
                     )
                     sp2 = sp2 + pm.astype(jnp.int32)
             else:
-                best_hit = ch_hit[0]
+                hitT = jnp.concatenate(ch_hit, axis=1).T  # (arity,K) f32
+                chit = [hitT[c : c + 1, :] > 0.0 for c in range(arity)]
+                best_hit = chit[0]
                 best_code = codes[0]
-                best_i = jnp.zeros((K, 1), jnp.int32)
+                best_i = jnp.zeros((1, K), jnp.int32)
                 for c in range(1, arity):
-                    better = ch_hit[c] & jnp.logical_not(best_hit)
+                    better = chit[c] & jnp.logical_not(best_hit)
                     best_code = jnp.where(better, codes[c], best_code)
                     best_i = jnp.where(better, c, best_i)
-                    best_hit = best_hit | ch_hit[c]
+                    best_hit = best_hit | chit[c]
                 sp2 = sp
                 for c in range(arity):
-                    pm = ch_hit[c] & was_int & (best_i != c)
+                    pm = chit[c] & was_int & (best_i != c)
                     stack_ref[:] = jnp.where(
-                        (iota_cols == sp2) & pm, codes[c], stack_ref[:]
+                        (iota_stack == sp2) & pm, codes[c], stack_ref[:]
                     )
                     sp2 = sp2 + pm.astype(jnp.int32)
             # pop: int slots with no hit child, and every leaf slot
@@ -1420,8 +1452,8 @@ def _make_persistent_kernel(
             can_pop = want_pop & (sp2 > 0)
             spm = jnp.maximum(sp2 - 1, 0)
             popped = jnp.sum(
-                jnp.where(iota_cols == spm, stack_ref[:], 0),
-                axis=1,
+                jnp.where(iota_stack == spm, stack_ref[:], 0),
+                axis=0,
                 keepdims=True,
             )
             nxt = jnp.where(
@@ -1435,9 +1467,10 @@ def _make_persistent_kernel(
             retired = stepped & (nxt == _DONE)
             nret = jnp.sum(retired.astype(jnp.int32))
             ndone = ndone + nret
-            cur_ref[:] = jnp.where(retired, _RETIRE, nxt)
+            cur_ref[:] = jnp.where(retired, _RETIRE, nxt).T
             sp_ref[:] = jnp.where(can_pop, spm, sp2)
             _swap_block(nret)
+            sp_ref[:] = jnp.where(retired, 0, sp_ref[:])
 
             useful = useful + jnp.sum(stepped.astype(jnp.int32))
             return ndone, it + 1, useful
@@ -1517,9 +1550,9 @@ def _closest_unified_call_persistent(
             pltpu.VMEM((kk, P_LANE), jnp.float32),  # inst
             pltpu.VMEM((kk, 128 if stream else arity * 8), jnp.float32),
             pltpu.VMEM((kk, 128 if stream else 10 * L), jnp.float32),
-            pltpu.VMEM((kk, depth), jnp.int32),  # stacks
+            pltpu.VMEM((depth, kk), jnp.int32),  # stacks (lane-major)
             pltpu.VMEM((kk, 1), jnp.int32),  # cur
-            pltpu.VMEM((kk, 1), jnp.int32),  # sp
+            pltpu.VMEM((1, kk), jnp.int32),  # sp (lane-major)
             pltpu.VMEM((kk, 1), jnp.int32),  # obj
             pltpu.VMEM((kk, 1), jnp.int32),  # aux
             pltpu.SMEM((kk,), jnp.int32),  # slotpkt
@@ -1572,9 +1605,9 @@ def _any_unified_call_persistent(
             pltpu.VMEM(wshape, jnp.float32),  # occ
             pltpu.VMEM((kk, 128 if stream else arity * 8), jnp.float32),
             pltpu.VMEM((kk, 128 if stream else 10 * L), jnp.float32),
-            pltpu.VMEM((kk, depth), jnp.int32),  # stacks
+            pltpu.VMEM((depth, kk), jnp.int32),  # stacks (lane-major)
             pltpu.VMEM((kk, 1), jnp.int32),  # cur
-            pltpu.VMEM((kk, 1), jnp.int32),  # sp
+            pltpu.VMEM((1, kk), jnp.int32),  # sp (lane-major)
             pltpu.VMEM((kk, 1), jnp.int32),  # obj
             pltpu.VMEM((kk, 1), jnp.int32),  # aux
             pltpu.SMEM((kk,), jnp.int32),  # slotpkt
@@ -1744,9 +1777,9 @@ def _closest_call_persistent(
             pltpu.VMEM(wshape, jnp.float32),  # bv
             pltpu.VMEM((kk, 128 if stream else arity * 8), jnp.float32),
             pltpu.VMEM((kk, 128 if stream else 10 * L), jnp.float32),
-            pltpu.VMEM((kk, depth), jnp.int32),  # stacks
+            pltpu.VMEM((depth, kk), jnp.int32),  # stacks (lane-major)
             pltpu.VMEM((kk, 1), jnp.int32),  # cur
-            pltpu.VMEM((kk, 1), jnp.int32),  # sp
+            pltpu.VMEM((1, kk), jnp.int32),  # sp (lane-major)
             pltpu.SMEM((kk,), jnp.int32),  # slotpkt
             pltpu.SMEM((1,), jnp.int32),
         ]
@@ -1797,9 +1830,9 @@ def _any_call_persistent(
             pltpu.VMEM(wshape, jnp.float32),  # occ
             pltpu.VMEM((kk, 128 if stream else arity * 8), jnp.float32),
             pltpu.VMEM((kk, 128 if stream else 10 * L), jnp.float32),
-            pltpu.VMEM((kk, depth), jnp.int32),  # stacks
+            pltpu.VMEM((depth, kk), jnp.int32),  # stacks (lane-major)
             pltpu.VMEM((kk, 1), jnp.int32),  # cur
-            pltpu.VMEM((kk, 1), jnp.int32),  # sp
+            pltpu.VMEM((1, kk), jnp.int32),  # sp (lane-major)
             pltpu.SMEM((kk,), jnp.int32),  # slotpkt
             pltpu.SMEM((1,), jnp.int32),
         ]

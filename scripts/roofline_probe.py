@@ -264,6 +264,13 @@ def cmd_step() -> int:
     ITERS = 200_000
     N, K, PS, DEPTH, AR = 60_000, 64, 2, 48, 4
     LEVELS = ("base", "bcast", "slab", "reduce", "sortnet", "stack")
+    # full-pipeline reformulations (compare against the "stack" total):
+    #   fused   - hit+entry reduces fused into ONE min-reduce per child
+    #             (keys computed directly; 8 reduces -> 4)
+    #   lanemaj - fused reduces + (K,4)->(4,K) transpose, then the sortnet,
+    #             stack pushes/pops and sp bookkeeping all in LANE-major
+    #             (1,K)/(DEPTH,K) shapes (one vreg per op instead of 8)
+    VARIANTS = ("fused", "lanemaj", "psfold")
 
     def make(level):
         lv = LEVELS.index(level)
@@ -392,6 +399,139 @@ def cmd_step() -> int:
 
         return run
 
+    def make_variant(name):
+        lanemaj = name in ("lanemaj", "psfold")
+        psfold = name == "psfold"
+
+        def kernel(tab_ref, o_ref, nrow, vidx, stack_ref, sp_ref, wa, wb):
+            vidx[:] = (jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0) * 977) % N
+            if lanemaj:
+                stack_ref[:] = jnp.zeros((DEPTH, K), jnp.int32)
+                sp_ref[:] = jnp.zeros((1, K), jnp.int32)
+                iota_rows = jax.lax.broadcasted_iota(jnp.int32, (DEPTH, K), 0)
+            else:
+                stack_ref[:] = jnp.zeros((K, DEPTH), jnp.int32)
+                sp_ref[:] = jnp.zeros((K, 1), jnp.int32)
+                iota_cols = jax.lax.broadcasted_iota(jnp.int32, (K, DEPTH), 1)
+            wa[:] = jnp.ones((K * PS, 128), jnp.float32)
+            wb[:] = jnp.ones((K * PS, 128), jnp.float32) * 0.5
+
+            def body(i, s):
+                vidx[:] = jax.lax.rem(vidx[:] + i, N)
+                for k in range(K):
+                    c = vidx[k, 0]
+                    r = jax.lax.rem(c + i, N)
+                    nrow[pl.ds(k, 1), :] = tab_ref[pl.ds(r, 1), :]
+                acc = s
+                rows = nrow[:]
+                cols = [_bc(rows[:, c : c + 1]) for c in range(AR * 6)]
+                ox, ix, tmn, tcap = wa[:], wb[:], 0.0, 1e30
+                keys_k = []
+                for c in range(AR):
+                    t0 = (cols[6 * c + 0] - ox) * ix
+                    t1 = (cols[6 * c + 3] - ox) * ix
+                    u0 = (cols[6 * c + 1] - ox) * ix
+                    u1 = (cols[6 * c + 4] - ox) * ix
+                    v0 = (cols[6 * c + 2] - ox) * ix
+                    v1 = (cols[6 * c + 5] - ox) * ix
+                    tn, tf = jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+                    un, uf = jnp.minimum(u0, u1), jnp.maximum(u0, u1)
+                    vn, vf = jnp.minimum(v0, v1), jnp.maximum(v0, v1)
+                    entry = jnp.maximum(jnp.maximum(tn, un), jnp.maximum(vn, tmn))
+                    exit_ = jnp.minimum(jnp.minimum(tf, uf), jnp.minimum(vf, tcap))
+                    hit = entry <= exit_
+                    # FUSED: one min-reduce yields key (1e30 = miss)
+                    eb = jnp.where(hit, entry, 1e30)
+                    if psfold:
+                        # pre-fold the PS sub-rows (cheap (K,128) vreg mins)
+                        # BEFORE the expensive lane-reduce tree: the shuffle
+                        # tree then runs on (K,128), not (K*PS,128)
+                        f = eb[:K]
+                        for p in range(1, PS):
+                            f = jnp.minimum(f, eb[p * K : (p + 1) * K])
+                        keys_k.append(jnp.min(f, axis=1).reshape(K, 1))
+                    else:
+                        el = jnp.min(eb, axis=1)
+                        keys_k.append(
+                            jnp.min(el.reshape(PS, K), axis=0).reshape(K, 1)
+                        )
+                if lanemaj:
+                    keysT = jnp.concatenate(keys_k, axis=1).T  # (AR, K)
+                    codesT = pltpu.bitcast(rows[:, 24 : 24 + AR], jnp.int32).T
+                    keys = [keysT[c : c + 1, :] for c in range(AR)]
+                    codes = [codesT[c : c + 1, :] for c in range(AR)]
+                else:
+                    keys = keys_k
+                    codes = [
+                        pltpu.bitcast(rows[:, 24 + c : 25 + c], jnp.int32)
+                        for c in range(AR)
+                    ]
+
+                def cswap(i_, j_):
+                    sw = keys[i_] > keys[j_]
+                    keys[i_], keys[j_] = (
+                        jnp.where(sw, keys[j_], keys[i_]),
+                        jnp.where(sw, keys[i_], keys[j_]),
+                    )
+                    codes[i_], codes[j_] = (
+                        jnp.where(sw, codes[j_], codes[i_]),
+                        jnp.where(sw, codes[i_], codes[j_]),
+                    )
+
+                for a, b in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+                    cswap(a, b)
+
+                sp2 = sp_ref[:]
+                was_int = keys[0] < 1e30  # stand-in mask, same shape class
+                iota = iota_rows if lanemaj else iota_cols
+                for c in range(AR - 1, 0, -1):
+                    pm = (keys[c] < 1e30) & was_int
+                    stack_ref[:] = jnp.where(
+                        (iota == sp2) & pm, codes[c], stack_ref[:]
+                    )
+                    sp2 = sp2 + pm.astype(jnp.int32)
+                spm = jnp.maximum(sp2 - 1, 0)
+                popped = jnp.sum(
+                    jnp.where(iota == spm, stack_ref[:], 0),
+                    axis=0 if lanemaj else 1,
+                    keepdims=True,
+                )
+                sp_ref[:] = jnp.where(was_int, spm, sp2)
+                acc = acc + jnp.float32(jnp.sum(popped)) + jnp.sum(keys[0])
+                return acc
+
+            acc = jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
+            o_ref[:] = jnp.full((8, 128), acc, jnp.float32)
+
+        def _bc(col):
+            rep = pltpu.repeat(col, PS, axis=0)
+            return jnp.broadcast_to(rep, (K * PS, 128))
+
+        stack_shape = (DEPTH, K) if lanemaj else (K, DEPTH)
+        sp_shape = (1, K) if lanemaj else (K, 1)
+
+        @jax.jit
+        def run(tab):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((K, 32), jnp.float32),
+                    pltpu.VMEM((K, 1), jnp.int32),
+                    pltpu.VMEM(stack_shape, jnp.int32),
+                    pltpu.VMEM(sp_shape, jnp.int32),
+                    pltpu.VMEM((K * PS, 128), jnp.float32),
+                    pltpu.VMEM((K * PS, 128), jnp.float32),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=120 * 1024 * 1024
+                ),
+            )(tab)
+
+        return run
+
     tab = jnp.ones((N, 32), jnp.float32)
     prev = None
     for level in LEVELS:
@@ -400,6 +540,14 @@ def cmd_step() -> int:
         d = f" (+{ns - prev:6.0f})" if prev is not None else ""
         print(f"step[{level:7s}]: {ns:7.0f} ns/iter{d}", flush=True)
         prev = ns
+    for name in VARIANTS:
+        try:
+            t = bench(lambda f=make_variant(name): f(tab), n=3)
+        except Exception as e:  # compile failures are data too
+            print(f"step[{name:7s}]: FAILED {type(e).__name__}: {str(e)[:200]}")
+            continue
+        ns = t / ITERS * 1e9
+        print(f"step[{name:7s}]: {ns:7.0f} ns/iter (vs stack {prev:.0f})", flush=True)
     return 0
 
 
@@ -515,6 +663,13 @@ def cmd_hall(subdiv: int) -> int:
         probe_closest("ps=1", dict(p_sub=1))
         probe_closest("merged", dict(merged=True))
         probe_closest("K=128", dict(k_slots=128))
+    if len(sys.argv) > 3 and sys.argv[3] == "ps":
+        # wider packets: per-iteration cost is ~a*K regardless of packet
+        # width, so if coherent rays share visits, ps>2 cuts iterations
+        # nearly linearly at +b*K*ps marginal cost (roofline consequence 3)
+        probe_closest("ps=4", dict(p_sub=4))
+        probe_closest("ps=8", dict(p_sub=8))
+        probe_closest("ps=4 K=32", dict(p_sub=4, k_slots=32))
 
     # any-hit: shadow-like wavefront from b0 hits toward a top light point
     lp = jnp.asarray([0.0, float(np.asarray(hp[:, 1]).max() + 1.0), 0.0], jnp.float32)
