@@ -80,8 +80,30 @@ _RETIRE = _DONE + 1
 # lifetime as _RETIRE.
 _ENTRY = _DONE + 2
 _RESTORE = _DONE + 3
+# flat deferred-leaf kernels: slot's traversal is exhausted but its leaf
+# queue still holds pending leaf codes — PERSISTS across iterations until
+# a leaf phase drains the queue (unlike the body-local sentinels above).
+# at-leaf tests in the deferred kernels use cur > _PARKED so this state
+# is never mistaken for a real leaf code.
+_PARKED = _DONE + 4
 _MT_EPS = 1e-9
 _BIG = 1e30
+
+# Deferred leaf queues (flat kernels, round 4): node iterations never
+# stall a slot at a leaf — the slot pushes the leaf code into a small
+# per-slot FIFO and keeps popping, so EVERY live slot advances every node
+# iteration (the two-phase alternation measured 36-47% of slot-steps idle
+# at the opposite phase's state). Leaf phases drain one queue head per
+# slot across all slots at once. Deferral only LOOSENS best-t culling
+# (extra visits), never changes results: every leaf the eager scheme
+# processes is still reached in the same per-slot order, and any extra
+# leaf was culled because its slab entry exceeded a best-t that only
+# ever decreases — its hits satisfy t >= entry > final best, so they can
+# never win (strict <) nor tie. CHAMELEONRT_LEAFQ sets the FIFO depth
+# (0 disables, restoring phase alternation); CHAMELEONRT_LEAFQ_SLOTS is
+# the minimum count of non-empty queues that triggers a leaf phase.
+LEAFQ_CAP = int(_os.environ.get("CHAMELEONRT_LEAFQ", "32"))
+LEAFQ_SLOTS = int(_os.environ.get("CHAMELEONRT_LEAFQ_SLOTS", "0")) or None
 
 # ascending sorting networks over child entry distances (closest-hit child
 # ordering; mirrors ops/traverse._SORT_NETS so both paths explore children
@@ -654,6 +676,7 @@ def _make_persistent_kernel(
     stream_tables=False,
     arity=2,
     merged=False,
+    leafq=0,
 ):
     """Build the persistent work-queue traversal kernel body for one of the
     four (closest | any) x (flat | unified) variants — ONE parameterized
@@ -703,6 +726,12 @@ def _make_persistent_kernel(
     round-2 compiled-image divergence was exactly a stale object-space row
     tested against world rays (ADVICE.md r2 #1).
     """
+    assert not (leafq and unified), (
+        "deferred leaf queues require one ray space (instance entries "
+        "change the slot's working rays; a deferred object-space leaf "
+        "would be tested against the wrong rays)"
+    )
+    assert not (leafq and merged), "leafq and merged are exclusive policies"
     K = kk
     root = tlas_lo if unified else 0
     # Mosaic DMA slices must be lane-aligned (128): the streamed tables are
@@ -742,6 +771,9 @@ def _make_persistent_kernel(
         stack_ref, cur_ref, sp_ref = take(), take(), take()
         obj_ref = take() if unified else None
         aux_ref = take() if unified else None
+        lq_ref = take() if leafq else None  # (leafq, K) FIFO, lane-major
+        lqh_ref = take() if leafq else None  # (K, 1) head mirror (fetch)
+        lqn_ref = take() if leafq else None  # (1, K) queue occupancy
         slotpkt_ref = take()
         queue_ref = take()
         if stream_tables:
@@ -759,11 +791,18 @@ def _make_persistent_kernel(
         # Measured (scripts/roofline_probe.py step): node step 1709 ->
         # 1352 ns/iter with the fused+psfold reduces included.
         iota_stack = jax.lax.broadcasted_iota(jnp.int32, (depth, K), 0)
+        if leafq:
+            # leaf FIFO is LANE-major (Q, K): enqueue/dequeue are one-vreg
+            # masked ops with no layout crossing; the fetch loop reads head
+            # scalars from a (K,1) sublane mirror refreshed once per
+            # iteration (one small transpose)
+            iota_q = jax.lax.broadcasted_iota(jnp.int32, (leafq, K), 0)
 
         def _set1(ref, k, val, dtype=jnp.int32):
             ref[pl.ds(k, 1), :] = jnp.full((1, 1), val, dtype)
 
-        def _fetch_rows(src_ref, dst_scr, sem, cond_fn, row_of, uncond=None):
+        def _fetch_rows(src_ref, dst_scr, sem, cond_fn, row_of, uncond=None,
+                        addr_ref=None):
             """Per-slot row fetch from the node/leaf table. VMEM tables:
             direct scalar-indexed dynamic-slice copies. Streamed (HBM)
             tables: K async DMAs issued together, then waited together, so
@@ -785,6 +824,8 @@ def _make_persistent_kernel(
             (ADVICE r2 #1)."""
             if uncond is None:
                 uncond = not unified
+            if addr_ref is None:
+                addr_ref = cur_ref
             if not stream_tables:
                 # CHAMELEONRT_KERNEL_X2=fetch doubles every row copy (ref
                 # stores survive DCE, control flow unchanged): the marginal
@@ -793,7 +834,7 @@ def _make_persistent_kernel(
                 reps = 2 if _os.environ.get("CHAMELEONRT_KERNEL_X2") == "fetch" else 1
                 n_rows = src_ref.shape[0]
                 for k in range(K):
-                    c = cur_ref[k, 0]
+                    c = addr_ref[k, 0]
                     if not uncond:
 
                         @pl.when(cond_fn(c))
@@ -808,7 +849,7 @@ def _make_persistent_kernel(
                             dst_scr[pl.ds(k, 1), :] = src_ref[pl.ds(r, 1), :]
                 return
             for k in range(K):
-                c = cur_ref[k, 0]
+                c = addr_ref[k, 0]
 
                 @pl.when(cond_fn(c))
                 def _(k=k, c=c):
@@ -818,7 +859,7 @@ def _make_persistent_kernel(
                         sem.at[k],
                     ).start()
             for k in range(K):
-                c = cur_ref[k, 0]
+                c = addr_ref[k, 0]
 
                 @pl.when(cond_fn(c))
                 def _(k=k, c=c):
@@ -881,6 +922,10 @@ def _make_persistent_kernel(
                 slotpkt_ref[k] = -1
         queue_ref[0] = min(K, n_packets)
         lrow_scr[:] = jnp.zeros_like(lrow_scr)
+        if leafq:
+            lq_ref[:] = jnp.full((leafq, K), -1, jnp.int32)
+            lqh_ref[:] = jnp.full((K, 1), -1, jnp.int32)
+            lqn_ref[:] = jnp.zeros((1, K), jnp.int32)
         if closest and unified:
             inst_scr[:] = jnp.full_like(inst_scr, -1.0)
 
@@ -1121,38 +1166,102 @@ def _make_persistent_kernel(
 
                 for i, j in _SORT_NETS[arity]:
                     _cswap(i, j)
-                best_hit = keys[0] < _BIG
-                best_code = kcodes[0]
+                hitlist = [keys[c] < _BIG for c in range(arity)]
+                codelist = kcodes
+            else:
+                # any-hit: unordered child handling
+                hitT = jnp.concatenate(ch_hit, axis=1).T  # (arity,K) f32
+                hitlist = [hitT[c : c + 1, :] > 0.0 for c in range(arity)]
+                codelist = codes
+            if leafq:
+                # ENQUEUE-AT-PUSH (deferred leaves, round 4): hit LEAF
+                # children go straight into the slot's FIFO (near-first
+                # for closest); only INTERNAL children descend or push, so
+                # cur and the stack hold internal rows exclusively and a
+                # leaf visit costs ONE batched-MT leaf step instead of a
+                # pop step plus an MT step (the pop-step tax was why the
+                # first deferred design measured neutral).
+                lqn = lqn_ref[:]  # (1,K)
+                leaf_c = [
+                    hitlist[c] & (codelist[c] < 0) for c in range(arity)
+                ]
+                int_c = [
+                    hitlist[c] & (codelist[c] >= 0) for c in range(arity)
+                ]
+                nleaf = leaf_c[0].astype(jnp.int32)
+                offs = [jnp.zeros((1, K), jnp.int32)]
+                for c in range(1, arity):
+                    offs.append(nleaf)
+                    nleaf = nleaf + leaf_c[c].astype(jnp.int32)
+                # the scheduling policy runs a leaf phase whenever any
+                # internal slot is within arity of the cap, so stalls
+                # cannot happen — but keep them correct if policy and cap
+                # ever diverge (a stalled slot redoes this step untouched)
+                stall = was_int & (lqn + nleaf > leafq)
+                proceed = was_int & jnp.logical_not(stall)
+                for c in range(arity):
+                    pm = leaf_c[c] & proceed
+                    lq_ref[:] = jnp.where(
+                        (iota_q == lqn + offs[c]) & pm,
+                        -codelist[c] - 1,
+                        lq_ref[:],
+                    )
+                lqn2 = jnp.where(proceed, lqn + nleaf, lqn)
+                lqn_ref[:] = lqn2
+                # refresh the sublane head mirror for the leaf fetch loop
+                lqh_ref[:] = lq_ref[0:1, :].T
+                # descend the first (nearest for closest) INTERNAL child;
+                # push the remaining internal children far-to-near
+                found = jnp.zeros((1, K), bool)
+                best_code = codes[0]
+                takes = []
+                for c in range(arity):
+                    take_c = int_c[c] & jnp.logical_not(found)
+                    best_code = jnp.where(take_c, codelist[c], best_code)
+                    takes.append(take_c)
+                    found = found | int_c[c]
+                best_hit = found
+                sp2 = sp
+                for c in range(arity - 1, -1, -1):
+                    pm = int_c[c] & jnp.logical_not(takes[c]) & proceed
+                    stack_ref[:] = jnp.where(
+                        (iota_stack == sp2) & pm, codelist[c], stack_ref[:]
+                    )
+                    sp2 = sp2 + pm.astype(jnp.int32)
+                stepped = proceed
+            elif closest:
+                best_hit = hitlist[0]
+                best_code = codelist[0]
                 # push far-to-near — one-hot masked writes into the
                 # (depth, K) stacks
                 sp2 = sp
                 for c in range(arity - 1, 0, -1):
-                    pm = (keys[c] < _BIG) & was_int
+                    pm = hitlist[c] & was_int
                     stack_ref[:] = jnp.where(
-                        (iota_stack == sp2) & pm, kcodes[c], stack_ref[:]
+                        (iota_stack == sp2) & pm, codelist[c], stack_ref[:]
                     )
                     sp2 = sp2 + pm.astype(jnp.int32)
+                stepped = was_int
             else:
-                # any-hit: unordered — first hit child descends, the rest
-                # push in child order
-                hitT = jnp.concatenate(ch_hit, axis=1).T  # (arity,K) f32
-                chit = [hitT[c : c + 1, :] > 0.0 for c in range(arity)]
-                best_hit = chit[0]
-                best_code = codes[0]
+                # any-hit: first hit child descends, the rest push in
+                # child order
+                best_hit = hitlist[0]
+                best_code = codelist[0]
                 best_i = jnp.zeros((1, K), jnp.int32)
                 for c in range(1, arity):
-                    better = chit[c] & jnp.logical_not(best_hit)
-                    best_code = jnp.where(better, codes[c], best_code)
+                    better = hitlist[c] & jnp.logical_not(best_hit)
+                    best_code = jnp.where(better, codelist[c], best_code)
                     best_i = jnp.where(better, c, best_i)
-                    best_hit = best_hit | chit[c]
+                    best_hit = best_hit | hitlist[c]
                 sp2 = sp
                 for c in range(arity):
-                    pm = chit[c] & was_int & (best_i != c)
+                    pm = hitlist[c] & was_int & (best_i != c)
                     stack_ref[:] = jnp.where(
-                        (iota_stack == sp2) & pm, codes[c], stack_ref[:]
+                        (iota_stack == sp2) & pm, codelist[c], stack_ref[:]
                     )
                     sp2 = sp2 + pm.astype(jnp.int32)
-            want_pop = was_int & jnp.logical_not(best_hit)
+                stepped = was_int
+            want_pop = stepped & jnp.logical_not(best_hit)
             if closest:
                 can_pop = want_pop & (sp2 > 0)
             else:
@@ -1163,14 +1272,22 @@ def _make_persistent_kernel(
                 axis=0,
                 keepdims=True,
             )
+            if leafq:
+                # traversal exhausted: park if leaves are still queued
+                fin = jnp.where(lqn2 > 0, _PARKED, _DONE)
+            else:
+                fin = _DONE
             nxt = jnp.where(
-                was_int & best_hit,
+                stepped & best_hit,
                 best_code,
-                jnp.where(can_pop, popped, _DONE),
+                jnp.where(can_pop, popped, fin),
             )
-            nxt = jnp.where(was_int, nxt, cur)
+            nxt = jnp.where(stepped, nxt, cur)
             if not closest:
                 nxt = jnp.where(was_int & early, _DONE, nxt)
+                if leafq:
+                    # a fully-occluded packet drops its queued leaves
+                    lqn_ref[:] = jnp.where(was_int & early, 0, lqn2)
             retired = was_int & (nxt == _DONE)
             nret = jnp.sum(retired.astype(jnp.int32))
             ndone = ndone + nret
@@ -1197,14 +1314,24 @@ def _make_persistent_kernel(
             if unified:
                 _restore_block(nrest)
 
-            useful = useful + jnp.sum(was_int.astype(jnp.int32))
+            useful = useful + jnp.sum(stepped.astype(jnp.int32))
             return ndone, it + 1, useful
 
         def leaf_iter(state):
             ndone, it, useful = state
-            _fetch_rows(leafs_ref, lrow_scr, leaf_sem if stream_tables else None,
-                        lambda c: jnp.logical_and(c < 0, c > _DONE),
-                        lambda c: -c - 1)
+            if leafq:
+                # deferred mode: fetch by each slot's queue HEAD (-1 when
+                # empty; the clamped unconditional fetch makes that an
+                # idempotent row-0 re-test, and the streamed tier guards
+                # the DMA on head >= 0)
+                _fetch_rows(leafs_ref, lrow_scr,
+                            leaf_sem if stream_tables else None,
+                            lambda c: c >= 0, lambda c: c, addr_ref=lqh_ref)
+            else:
+                _fetch_rows(leafs_ref, lrow_scr,
+                            leaf_sem if stream_tables else None,
+                            lambda c: jnp.logical_and(c < 0, c > _DONE),
+                            lambda c: -c - 1)
             lrows = lrow_scr[:]
             ox, oy, oz = w_ox[:], w_oy[:], w_oz[:]
             dx, dy, dz = w_dx[:], w_dy[:], w_dz[:]
@@ -1249,6 +1376,41 @@ def _make_persistent_kernel(
                 insts_col = (
                     pltpu.bitcast(lrows[:, 13:14], jnp.int32) if closest else None
                 )
+
+            if leafq:
+                # --- deferred-mode stepping: dequeue one head per slot;
+                # traversal state (cur/sp/stack) is untouched — it only
+                # advances in node iterations. Parked slots whose queue
+                # just drained retire here.
+                cur = cur_ref[:].T  # (1,K)
+                lqn = lqn_ref[:]  # (1,K)
+                did = lqn > 0
+                lqn2 = lqn - did.astype(jnp.int32)
+                lq = lq_ref[:]
+                shifted = jnp.concatenate(
+                    [lq[1:], jnp.full((1, K), -1, jnp.int32)], axis=0
+                )
+                lq_ref[:] = jnp.where(did, shifted, lq)
+                lqh_ref[:] = jnp.where(did, shifted[0:1, :], lq[0:1, :]).T
+                if closest:
+                    retired = (cur == _PARKED) & (lqn2 == 0)
+                else:
+                    early = (
+                        _packet_reduce_min(occ, p_sub).reshape(K, 1).T > 0.0
+                    )
+                    # occluded packets retire regardless of queue depth
+                    retired = ((cur == _PARKED) & (lqn2 == 0)) | (
+                        (cur == _PARKED) & early
+                    )
+                    lqn2 = jnp.where(retired, 0, lqn2)
+                lqn_ref[:] = lqn2
+                nret = jnp.sum(retired.astype(jnp.int32))
+                ndone = ndone + nret
+                cur_ref[:] = jnp.where(retired, _RETIRE, cur).T
+                _swap_block(nret)
+                sp_ref[:] = jnp.where(retired, 0, sp_ref[:])
+                useful = useful + jnp.sum(did.astype(jnp.int32))
+                return ndone, it + 1, useful
 
             # --- vectorized slot stepping, LANE-major (see iota_stack note)
             cur = cur_ref[:].T  # (1,K)
@@ -1485,6 +1647,34 @@ def _make_persistent_kernel(
 
         if merged and not unified:
             body = merged_iter
+        elif leafq:
+            # threshold scales with the number of slots that can ever be
+            # live (small waves never fill all K slots — a K-based
+            # threshold would defer every leaf until traversal exhaustion,
+            # losing all best-t culling)
+            live_cap = min(K, n_packets)
+            qmin = (
+                min(LEAFQ_SLOTS, live_cap)
+                if LEAFQ_SLOTS is not None
+                else max(1, (3 * live_cap) // 4)
+            )
+
+            def body(state):
+                curT = cur_ref[:].T  # (1,K)
+                lqn = lqn_ref[:]  # (1,K)
+                is_int = curT >= 0
+                n_int = jnp.sum(is_int.astype(jnp.int32))
+                nonempty = jnp.sum((lqn > 0).astype(jnp.int32))
+                # run a leaf phase when: enough queues are worth batching;
+                # or an internal slot could overflow its FIFO next step
+                # (after which node steps can never stall); or no slot has
+                # node work left (parked slots only drain in leaf phases)
+                near_full = (
+                    jnp.sum((is_int & (lqn > leafq - arity)).astype(jnp.int32))
+                    > 0
+                )
+                do_leaf = (nonempty >= qmin) | near_full | (n_int == 0)
+                return jax.lax.cond(do_leaf, leaf_iter, node_iter, state)
         else:
 
             def body(state):
@@ -1735,16 +1925,21 @@ def _unpack_rays_pm(y, R):
     jax.jit,
     static_argnames=(
         "L", "depth", "n_packets", "p_sub", "kk", "lt", "stream", "arity",
-        "interpret", "merged",
+        "interpret", "merged", "leafq",
     ),
 )
 def _closest_call_persistent(
     nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax,
     *, L, depth, n_packets, p_sub, kk=None, lt=None, stream=False, arity=2,
-    interpret=False, merged=False,
+    interpret=False, merged=False, leafq=None,
 ):
     kk = K if kk is None else kk
     lt = LEAF_THRESH if lt is None else lt
+    if leafq is None:
+        # deferred leaf queues pay off by batching leaf phases across FULL
+        # slot occupancy; sub-K waves (toy renders) lose to the enqueue
+        # overhead and the culling lag, so they keep phase alternation
+        leafq = 0 if (merged or n_packets < kk) else LEAFQ_CAP
     if stream:
         nodes = jnp.pad(nodes, ((0, 0), (0, 128 - nodes.shape[1])))
         leafs = jnp.pad(leafs, ((0, 0), (0, 128 - leafs.shape[1])))
@@ -1755,7 +1950,7 @@ def _closest_call_persistent(
         _make_persistent_kernel(
             closest=True, unified=False, L=L, depth=depth, p_sub=p_sub,
             n_packets=n_packets, kk=kk, leaf_thresh=lt, stream_tables=stream, arity=arity,
-            merged=merged,
+            merged=merged, leafq=leafq,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM)
@@ -1780,6 +1975,17 @@ def _closest_call_persistent(
             pltpu.VMEM((depth, kk), jnp.int32),  # stacks (lane-major)
             pltpu.VMEM((kk, 1), jnp.int32),  # cur
             pltpu.VMEM((1, kk), jnp.int32),  # sp (lane-major)
+        ]
+        + (
+            [
+                pltpu.VMEM((leafq, kk), jnp.int32),  # leaf FIFO (lane-major)
+                pltpu.VMEM((kk, 1), jnp.int32),  # FIFO head mirror
+                pltpu.VMEM((1, kk), jnp.int32),  # queue occupancy
+            ]
+            if leafq
+            else []
+        )
+        + [
             pltpu.SMEM((kk,), jnp.int32),  # slotpkt
             pltpu.SMEM((1,), jnp.int32),
         ]
@@ -1795,16 +2001,21 @@ def _closest_call_persistent(
     jax.jit,
     static_argnames=(
         "L", "depth", "n_packets", "p_sub", "kk", "lt", "stream", "arity",
-        "interpret", "merged",
+        "interpret", "merged", "leafq",
     ),
 )
 def _any_call_persistent(
     nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax,
     *, L, depth, n_packets, p_sub, kk=None, lt=None, stream=False, arity=2,
-    interpret=False, merged=False,
+    interpret=False, merged=False, leafq=None,
 ):
     kk = K if kk is None else kk
     lt = LEAF_THRESH if lt is None else lt
+    if leafq is None:
+        # deferred leaf queues pay off by batching leaf phases across FULL
+        # slot occupancy; sub-K waves (toy renders) lose to the enqueue
+        # overhead and the culling lag, so they keep phase alternation
+        leafq = 0 if (merged or n_packets < kk) else LEAFQ_CAP
     if stream:
         nodes = jnp.pad(nodes, ((0, 0), (0, 128 - nodes.shape[1])))
         leafs = jnp.pad(leafs, ((0, 0), (0, 128 - leafs.shape[1])))
@@ -1814,7 +2025,7 @@ def _any_call_persistent(
         _make_persistent_kernel(
             closest=False, unified=False, L=L, depth=depth, p_sub=p_sub,
             n_packets=n_packets, kk=kk, leaf_thresh=lt, stream_tables=stream, arity=arity,
-            merged=merged,
+            merged=merged, leafq=leafq,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM)
@@ -1833,6 +2044,17 @@ def _any_call_persistent(
             pltpu.VMEM((depth, kk), jnp.int32),  # stacks (lane-major)
             pltpu.VMEM((kk, 1), jnp.int32),  # cur
             pltpu.VMEM((1, kk), jnp.int32),  # sp (lane-major)
+        ]
+        + (
+            [
+                pltpu.VMEM((leafq, kk), jnp.int32),  # leaf FIFO (lane-major)
+                pltpu.VMEM((kk, 1), jnp.int32),  # FIFO head mirror
+                pltpu.VMEM((1, kk), jnp.int32),  # queue occupancy
+            ]
+            if leafq
+            else []
+        )
+        + [
             pltpu.SMEM((kk,), jnp.int32),  # slotpkt
             pltpu.SMEM((1,), jnp.int32),
         ]

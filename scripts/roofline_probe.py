@@ -663,6 +663,11 @@ def cmd_hall(subdiv: int) -> int:
         probe_closest("ps=1", dict(p_sub=1))
         probe_closest("merged", dict(merged=True))
         probe_closest("K=128", dict(k_slots=128))
+    if len(sys.argv) > 3 and sys.argv[3] == "stream":
+        # the DMA-streamed (>VMEM) tier on the SAME wavefronts: isolates
+        # the per-iteration cost of HBM row DMAs vs VMEM-resident tables
+        probe_closest("stream", dict(stream=True))
+        probe_any("stream", dict(stream=True))
     if len(sys.argv) > 3 and sys.argv[3] == "ps":
         # wider packets: per-iteration cost is ~a*K regardless of packet
         # width, so if coherent rays share visits, ps>2 cuts iterations
