@@ -247,6 +247,22 @@ def _shade_bounce_blocked(
     measured ~f_active of full-shading cost instead of 1.0."""
     R = orig.shape[0]
     B = _shade_block_rows()
+    if B == -1:
+        # Fusion-fenced whole-wavefront shade (MEASURED LOSS, kept as a
+        # probe knob): standalone _shade_bounce is ~0.5 ms at 921K lanes
+        # and the lax.map blocking costs ~44 ms/frame in launch/stacking
+        # overhead (scripts/stub_budget.py, honest chained-jit timing),
+        # so a barrier-isolated whole-wavefront shade LOOKED like a win —
+        # but the full-frame A/B says otherwise: hall 785 ms/frame vs the
+        # blocked default's 627. The sequential map's small working set
+        # buys the surrounding frame more than the map machinery costs;
+        # an optimization_barrier does not reproduce that.
+        ins = jax.lax.optimization_barrier(
+            (state, orig, dir, throughput, active,
+             hit_p, hit.tri, hit.inst, hit.u, hit.v)
+        )
+        out = _shade_bounce(flat, meta, bounce, *ins)
+        return jax.lax.optimization_barrier(out)
     if B <= 0 or R <= B:
         return _shade_bounce(
             flat, meta, bounce, state, orig, dir, throughput, active,

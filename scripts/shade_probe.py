@@ -17,11 +17,39 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     textured = "textured" in sys.argv[1:]
+    stubshade = "stubshade" in sys.argv[1:]
 
     import jax
     import jax.numpy as jnp
 
     from chameleonrt_tpu.engine import path_tracer
+
+    if stubshade:
+        # Replace the whole shading stage with a trivial, activity-
+        # preserving ShadeOut so the remaining frame time is the
+        # sort + miss/accum soup + bounce-loop machinery floor.
+        def _fake_shade(flat, meta, bounce, state, orig, dir, tp, active,
+                        hit_p, hit):
+            R = orig.shape[0]
+            z1 = jnp.zeros((R,), jnp.float32)
+            z3 = jnp.zeros((R, 3), jnp.float32)
+            up = z3.at[:, 2].set(1.0)
+            return path_tracer.ShadeOut(
+                state=state + jnp.uint32(1),
+                c1=z3 + 0.01,
+                c2=z3,
+                shoot1=active,
+                light_dir=up,
+                light_dist=z1 + 5.0,
+                shoot2=active,
+                w_i2=up,
+                t_light=z1 + 5.0,
+                new_throughput=tp * 0.8,
+                cont_dir=jnp.where(active[:, None], -dir, dir),
+                new_active=active,
+            )
+
+        path_tracer._shade_bounce_blocked = _fake_shade
     from chameleonrt_tpu.engine.device_scene import build_device_scene
     from chameleonrt_tpu.engine.trace_bvh import build_blas_set
     from chameleonrt_tpu.ops import camera as camera_ops
@@ -74,11 +102,16 @@ def main() -> int:
         )
         return illum.sum(), rays
 
-    out = jax.block_until_ready(render(flat))
+    # fetch-sync (block_until_ready does not reliably wait on the tunnel;
+    # see scripts/_bench_util.py) — the scalar fetch adds ~30 ms RTT,
+    # constant across configs
+    out = render(flat)
+    float(out[0])
     ts = []
     for _ in range(4):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(render(flat))
+        out = render(flat)
+        float(out[0])
         ts.append(time.perf_counter() - t0)
     print(
         f"shading-only frame (5 bounces, {W}x{H}): {min(ts)*1e3:.1f} ms "
