@@ -264,13 +264,16 @@ def build_device_scene(scene: Scene, want_host: bool = False):
     if scene.textures and scene.material_mode != MaterialMode.WHITE_DIFFUSE:
         from chameleonrt_tpu.ops.texture import build_quad_rows_device
 
-        # Ship u8 texels only; linearization + the 16x-larger float quad
-        # atlas happen ON DEVICE (build_quad_rows_device docstring: the
-        # single-core host made the numpy quad build + concat + transfer
-        # serialization the set_scene bottleneck). Channel spread to RGBA
-        # stays host-side on the small u8 images.
-        table = np.zeros((len(scene.textures), 3), np.int32)
-        groups: dict = {}  # (h, w) -> [(texture id, rgba u8, srgb flag)]
+        # Ship u8 texels only; the 4x-larger u8 quad atlas is built ON
+        # DEVICE (build_quad_rows_device docstring: the single-core host
+        # made the numpy quad build + concat + transfer serialization the
+        # set_scene bottleneck). Texels stay raw u8 — sRGB linearization
+        # happens per lane at sample time (ops/texture.py: row gathers
+        # dominate shading and track row bytes, so a u8 atlas samples
+        # ~40% faster than f32 with bit-identical results). Channel
+        # spread to RGBA stays host-side on the small u8 images.
+        table = np.zeros((len(scene.textures), 4), np.int32)
+        groups: dict = {}  # (h, w) -> [(texture id, rgba u8)]
         for ti, img in enumerate(scene.textures):
             h, w, c = img.data.shape
             rgba = np.full((h, w, 4), 255, np.uint8)
@@ -282,22 +285,19 @@ def build_device_scene(scene: Scene, want_host: bool = False):
                 rgba[..., 3] = data[..., 1]
             else:
                 rgba[..., :c] = data
-            # alpha channel stays linear; srgb flag linearizes rgb only
-            groups.setdefault((h, w), []).append(
-                (ti, rgba, img.color_space == ColorSpace.SRGB)
-            )
+            groups.setdefault((h, w), []).append((ti, rgba))
         # one stacked device call per texture shape (atlas rows follow
-        # group order; table offsets point each texture id at its rows)
+        # group order; table offsets point each texture id at its rows).
+        # flags bit0 = rgb sRGB; alpha stays linear (bit1 clear) unless a
+        # co-packed sRGB scalar channel rides there.
         quads = []
         off = 0
         for (h, w), items in groups.items():
-            stack = np.stack([r for _, r, _ in items])
-            flags = np.array([s for _, _, s in items])
-            quads.append(
-                build_quad_rows_device(jnp.asarray(stack), jnp.asarray(flags))
-            )
-            for j, (ti, _, _) in enumerate(items):
-                table[ti] = (off + j * h * w, w, h)
+            stack = np.stack([r for _, r in items])
+            quads.append(build_quad_rows_device(jnp.asarray(stack)))
+            for j, (ti, _) in enumerate(items):
+                srgb = scene.textures[ti].color_space == ColorSpace.SRGB
+                table[ti] = (off + j * h * w, w, h, 1 if srgb else 0)
             off += len(items) * h * w
         atlas = TextureAtlas(
             atlas=jnp.concatenate(quads) if len(quads) > 1 else quads[0],

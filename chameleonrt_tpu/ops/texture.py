@@ -2,17 +2,26 @@
 
 All scene textures are packed into one device atlas of PRE-BUILT BILINEAR
 QUADS: row i holds the 2x2 RGBA texel footprint [t(x,y), t(x+1,y),
-t(x,y+1), t(x+1,y+1)] (16 floats), with the wrap column/row folded in at
-upload. Sampling is software bilinear with wrap addressing — the
+t(x,y+1), t(x+1,y+1)] (16 UINT8 texels), with the wrap column/row folded
+in at upload. Sampling is software bilinear with wrap addressing — the
 vectorized equivalent of the reference's CPU texture unit
 (backends/embree/texture2d.ih:39-83) — expressed as ONE (R,16) row gather
-per lookup. XLA:TPU gathers cost ~12 ns per ROW regardless of width
-(measured), so one 64-byte-row gather is ~4x cheaper than the naive four
-corner gathers; the 4x texel memory is the explicit trade.
+per lookup plus on-lane decode. Row gathers dominate the shading stage
+(honest chained-jit measurement, 921K lanes, 134 MB f32 atlas: 41 of the
+43.5 ms blocked shade was the two material lookups), and gather cost
+tracks ROW BYTES on >VMEM tables: u8 rows measure 12.3 ns vs f32's
+20.2 ns at 2M rows. So the atlas stores the ORIGINAL uint8 texels and
+sRGB linearization runs per lane after the gather — the exact same
+`u8/255 -> piecewise sRGB` float ops the upload-time build ran, so the
+sampled values are bit-identical to the f32-atlas design while the
+gather moves 4x fewer bytes (VPU transcendentals are ~free next to HBM
+row fetches: 16 pows/lane ≈ 0.2 ms at 921K lanes).
 
-Per-texture rows of a (N, 3) int32 table carry (quad-row offset, width,
-height). Material parameters that carry texture handles
-(util/texture_channel_mask.h) are decoded bitwise on device.
+Per-texture rows of a (N, 4) int32 table carry (quad-row offset, width,
+height, colorspace flags: bit0 = rgb channels are sRGB, bit1 = alpha
+channel is sRGB — bit1 only arises when a co-packed scalar channel from
+an sRGB source rides in alpha). Material parameters that carry texture
+handles (util/texture_channel_mask.h) are decoded bitwise on device.
 """
 
 from __future__ import annotations
@@ -24,8 +33,8 @@ import jax.numpy as jnp
 
 
 class TextureAtlas(NamedTuple):
-    atlas: jnp.ndarray  # (P, 16) float32 bilinear quad rows (linearized)
-    table: jnp.ndarray  # (N, 3) int32: quad-row offset, width, height
+    atlas: jnp.ndarray  # (P, 16) uint8 bilinear quad rows (raw texels)
+    table: jnp.ndarray  # (N, 4) int32: quad-row offset, width, height, flags
 
     @property
     def num_textures(self) -> int:
@@ -34,48 +43,50 @@ class TextureAtlas(NamedTuple):
     @staticmethod
     def empty() -> "TextureAtlas":
         return TextureAtlas(
-            atlas=jnp.zeros((1, 16), jnp.float32),
-            table=jnp.ones((1, 3), jnp.int32),
+            atlas=jnp.zeros((1, 16), jnp.uint8),
+            table=jnp.asarray([[0, 1, 1, 0]], jnp.int32),
         )
 
 
-def build_quad_rows(rgba):
-    """(h, w, 4) float32 image -> (h*w, 16) bilinear quad rows with wrap
-    addressing baked in: row (y*w + x) = [t(x,y), t(x+1 mod w, y),
+def build_quad_rows(rgba_u8):
+    """(h, w, 4) uint8 image -> (h*w, 16) uint8 bilinear quad rows with
+    wrap addressing baked in: row (y*w + x) = [t(x,y), t(x+1 mod w, y),
     t(x, y+1 mod h), t(x+1 mod w, y+1 mod h)]. mod is a homomorphism, so
     indexing quads by (wrap(xi), wrap(yi)) reproduces the reference's
     independently wrapped four corners exactly (texture2d.ih:39-49)."""
     import numpy as np
 
-    p = np.concatenate([rgba, rgba[:, :1]], axis=1)  # wrap column
+    p = np.concatenate([rgba_u8, rgba_u8[:, :1]], axis=1)  # wrap column
     p = np.concatenate([p, p[:1]], axis=0)  # wrap row
     q = np.concatenate(
         [p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]], axis=2
     )  # (h, w, 16)
-    return np.ascontiguousarray(q.reshape(-1, 16), dtype=np.float32)
+    return np.ascontiguousarray(q.reshape(-1, 16), dtype=np.uint8)
 
 
 @jax.jit
-def build_quad_rows_device(rgba_u8, srgb):
-    """Device-side quad-row construction: (T, h, w, 4) uint8 texels +
-    (T,) bool sRGB flags -> (T*h*w, 16) float32 quad rows (same layout as
-    build_quad_rows, batched). The host stays out of the hot path: scene
-    upload ships T*h*w*4 BYTES and the 16x-larger float quad atlas is
-    materialized on device — on the single-core host the numpy quad
-    build + 134 MB concat + transfer serialization dominated set_scene
-    (~20 s for 8 512^2 textures; this path is ~0.3 s). Alpha stays
-    linear; rgb linearizes per the per-texture flag (util/util.cpp:102)."""
-    f = rgba_u8.astype(jnp.float32) * (1.0 / 255.0)
-    rgb = f[..., :3]
-    lin = jnp.where(rgb <= 0.04045, rgb / 12.92, ((rgb + 0.055) / 1.055) ** 2.4)
-    rgb = jnp.where(srgb[:, None, None, None], lin, rgb)
-    f = jnp.concatenate([rgb, f[..., 3:4]], axis=-1)
-    p = jnp.concatenate([f, f[:, :, :1]], axis=2)  # wrap column
+def build_quad_rows_device(rgba_u8):
+    """Device-side quad-row construction: (T, h, w, 4) uint8 texels ->
+    (T*h*w, 16) uint8 quad rows (same layout as build_quad_rows,
+    batched). The host stays out of the hot path: scene upload ships
+    T*h*w*4 BYTES and the 4x-larger quad atlas is materialized on device
+    — on the single-core host the numpy quad build + concat + transfer
+    serialization dominated set_scene (~20 s for 8 512^2 textures; this
+    path is ~0.3 s). Texels stay raw u8; sRGB linearization happens per
+    lane at sample time (bit-identical — see module docstring)."""
+    p = jnp.concatenate([rgba_u8, rgba_u8[:, :, :1]], axis=2)  # wrap column
     p = jnp.concatenate([p, p[:, :1]], axis=1)  # wrap row
     q = jnp.concatenate(
         [p[:, :-1, :-1], p[:, :-1, 1:], p[:, 1:, :-1], p[:, 1:, 1:]], axis=3
     )
     return q.reshape(-1, 16)
+
+
+def _srgb_to_linear(f):
+    """Piecewise sRGB EOTF on [0,1] floats — the exact float ops the
+    upload-time linearization ran (util/util.cpp:102 role), now applied
+    per lane after the u8 row gather."""
+    return jnp.where(f <= 0.04045, f / 12.92, ((f + 0.055) / 1.055) ** 2.4)
 
 
 def _wrap(x, n):
@@ -85,9 +96,9 @@ def _wrap(x, n):
 
 def _quad_setup(atlas: TextureAtlas, tex_id, uv):
     """Shared bilinear footprint computation (reference texture2d.ih:39-49):
-    returns (quad rows (..., 16), tx, ty)."""
+    returns (u8 quad rows (..., 16), tx, ty, colorspace flags)."""
     tex_id = jnp.clip(tex_id, 0, atlas.table.shape[0] - 1)
-    rec = atlas.table[tex_id]  # (..., 3)
+    rec = atlas.table[tex_id]  # (..., 4)
     off, w, h = rec[..., 0], rec[..., 1], rec[..., 2]
     ux = uv[..., 0] * w.astype(jnp.float32) - 0.5
     uy = uv[..., 1] * h.astype(jnp.float32) - 0.5
@@ -99,20 +110,27 @@ def _quad_setup(atlas: TextureAtlas, tex_id, uv):
     yi = uy.astype(jnp.int32)
     x0 = _wrap(xi, w)
     y0 = _wrap(yi, h)
-    rows = atlas.atlas[off + y0 * w + x0]  # ONE (R,16) gather
-    return rows, tx, ty
+    rows = atlas.atlas[off + y0 * w + x0]  # ONE u8 (R,16) gather
+    return rows, tx, ty, rec[..., 3]
 
 
 def sample_rgb(atlas: TextureAtlas, tex_id, uv):
     """Bilinear RGB fetch (reference texture2d.ih:39-60). Returns (..., 3)."""
-    rows, tx, ty = _quad_setup(atlas, tex_id, uv)
+    rows, tx, ty, flags = _quad_setup(atlas, tex_id, uv)
+    f = rows.astype(jnp.float32) * (1.0 / 255.0)
+    srgb = ((flags & 1) != 0)[..., None]
     tx = tx[..., None]
     ty = ty[..., None]
+
+    def corner(c0):
+        rgb = f[..., c0 : c0 + 3]
+        return jnp.where(srgb, _srgb_to_linear(rgb), rgb)
+
     return (
-        rows[..., 0:3] * (1.0 - tx) * (1.0 - ty)
-        + rows[..., 4:7] * tx * (1.0 - ty)
-        + rows[..., 8:11] * (1.0 - tx) * ty
-        + rows[..., 12:15] * tx * ty
+        corner(0) * (1.0 - tx) * (1.0 - ty)
+        + corner(4) * tx * (1.0 - ty)
+        + corner(8) * (1.0 - tx) * ty
+        + corner(12) * tx * ty
     )
 
 
@@ -123,13 +141,19 @@ def sample_channel(atlas: TextureAtlas, tex_id, channel, uv):
     NOT a per-lane minor-dim fancy index `a[idx, ch]`: per-lane minor-dim
     dynamic indexing is the pattern class that relayouts (~1 ms/op) and
     faults the v5e/axon compiler at scale (docs/ARCHITECTURE.md)."""
-    rows, tx, ty = _quad_setup(atlas, tex_id, uv)
+    rows, tx, ty, flags = _quad_setup(atlas, tex_id, uv)
+    f = rows.astype(jnp.float32) * (1.0 / 255.0)
+    channel = jnp.clip(channel, 0, 3)
     onehot = (
-        jnp.arange(4, dtype=jnp.int32) == jnp.clip(channel, 0, 3)[..., None]
+        jnp.arange(4, dtype=jnp.int32) == channel[..., None]
     ).astype(jnp.float32)
+    # rgb channels linearize per bit0; a channel-3 read takes bit1 (only
+    # set for co-packed alpha riding an sRGB source)
+    srgb = jnp.where(channel == 3, (flags & 2) != 0, (flags & 1) != 0)
 
     def pick(c0):
-        return jnp.sum(rows[..., c0 : c0 + 4] * onehot, axis=-1)
+        v = jnp.sum(f[..., c0 : c0 + 4] * onehot, axis=-1)
+        return jnp.where(srgb, _srgb_to_linear(v), v)
 
     return (
         pick(0) * (1.0 - tx) * (1.0 - ty)

@@ -140,7 +140,7 @@ def main() -> int:
             v_x, v_y = ortho_basis(n_)
             acc = jnp.float32(0)
             for _ in range(n):
-                w_i, pdf, state = bsdf_ops.sample_disney_brdf(
+                state, _f, w_i, pdf = bsdf_ops.sample_disney_brdf(
                     mat0, n_, w_o, v_x, v_y, state
                 )
                 fr = bsdf_ops.disney_brdf(mat0, n_, w_o, w_i, v_x, v_y)
