@@ -172,12 +172,16 @@ def _parse_args(argv: List[str]):
             if v not in ("auto", "ansi", "none") and not (
                 v == "http" or v.startswith("http:")
             ):
-                raise ValueError("-display expects auto|ansi|none|http[:port]")
+                raise ValueError(
+                    "-display expects auto|ansi|none|http[:[host:]port]"
+                )
             if v.startswith("http:"):
                 try:
-                    int(v.split(":", 1)[1])
+                    int(v.rsplit(":", 1)[1])
                 except ValueError:
-                    raise ValueError("-display http:<port> needs an integer port")
+                    raise ValueError(
+                        "-display http[:[host:]port] needs an integer port"
+                    )
             opts["display"] = v
             i += 2
         elif a == "-devices":
@@ -354,11 +358,18 @@ def run_http_viewer(backend, eye, center, up, fov, opts) -> int:
     from chameleonrt_tpu.display.http_display import HttpDisplay
     from chameleonrt_tpu.utils.arcball import ArcballCamera
 
-    port = 8000
+    # http | http:<port> | http:<host>:<port> — loopback-only unless a
+    # host is named (the viewer's /input endpoint is unauthenticated)
+    host, port = "127.0.0.1", 8000
     if ":" in opts["display"]:
-        port = int(opts["display"].split(":", 1)[1])
-    display = HttpDisplay(port=port)
-    print(f"Viewer: http://localhost:{display.port}/  (Ctrl-C to quit)")
+        rest = opts["display"].split(":", 1)[1]
+        if ":" in rest:
+            host, p = rest.rsplit(":", 1)
+            port = int(p)
+        else:
+            port = int(rest)
+    display = HttpDisplay(port=port, host=host)
+    print(f"Viewer: http://{host}:{display.port}/  (Ctrl-C to quit)")
 
     camera = ArcballCamera(eye, center, up)
     camera_changed = True

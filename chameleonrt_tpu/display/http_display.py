@@ -72,7 +72,15 @@ setInterval(async () => {
 class HttpDisplay(Display):
     """Serves the progressive framebuffer over HTTP; collects mouse input."""
 
-    def __init__(self, port: int = 8000, quality: int = 80):
+    def __init__(
+        self, port: int = 8000, quality: int = 80, host: str = "127.0.0.1"
+    ):
+        # Default bind is loopback: /input accepts unauthenticated POSTs
+        # (camera drags and {type:'quit'}, which terminates the render
+        # loop), so exposing the port to a network is strictly opt-in via
+        # -display http:<host>:<port> (e.g. http:0.0.0.0:8000 behind a
+        # trusted-network tunnel).
+        self.host = host
         self.quality = quality
         self.events: "queue.Queue[dict]" = queue.Queue()
         self.closed = False
@@ -152,7 +160,7 @@ class HttpDisplay(Display):
                 else:
                     self.send_error(404)
 
-        self._server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+        self._server = ThreadingHTTPServer((host, port), Handler)
         self.port = self._server.server_address[1]
         self._thread = threading.Thread(
             target=self._server.serve_forever, daemon=True

@@ -434,6 +434,7 @@ def trace_path(
     lane_ids=None,
     rebalance_axis=None,
     rebalance_n_dev=1,
+    active0=None,
 ):
     """One full path per lane starting from the given primary rays.
     Returns (state, illum (R,3), rays_traced int32). NOTE: the returned
@@ -445,7 +446,11 @@ def trace_path(
     R = orig.shape[0]
     illum = jnp.zeros((R, 3), jnp.float32)
     throughput = jnp.ones((R, 3), jnp.float32)
-    active = jnp.ones((R,), bool)
+    # active0 lets sharded callers launch pad-row lanes born-dead: they
+    # trace nothing and count no rays, so rebalanced ray stats stay exact
+    # (a migrated ray executes — and is counted — on a different device
+    # than its home rows, which breaks per-device crop scaling).
+    active = jnp.ones((R,), bool) if active0 is None else active0
     lane_pixel = (
         jnp.arange(R, dtype=jnp.int32) if lane_ids is None else lane_ids
     )
@@ -570,6 +575,7 @@ def render_pixels(
     scatter_rows: int = 0,
     rebalance_axis=None,
     rebalance_n_dev: int = 1,
+    active0=None,
 ):
     """Render one progressive frame's illumination for the given pixels.
     Returns (illum averaged over spp, rays_traced int32 scalar).
@@ -597,6 +603,7 @@ def render_pixels(
             lane_ids=scatter_ids,
             rebalance_axis=rebalance_axis,
             rebalance_n_dev=rebalance_n_dev,
+            active0=active0,
         )
         # one scatter restores input-ray order (trace_path reshuffles lanes
         # by coherence each bounce; per-pixel arithmetic is unchanged, so

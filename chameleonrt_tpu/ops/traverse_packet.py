@@ -95,15 +95,37 @@ _BIG = 1e30
 # iteration (the two-phase alternation measured 36-47% of slot-steps idle
 # at the opposite phase's state). Leaf phases drain one queue head per
 # slot across all slots at once. Deferral only LOOSENS best-t culling
-# (extra visits), never changes results: every leaf the eager scheme
-# processes is still reached in the same per-slot order, and any extra
-# leaf was culled because its slab entry exceeded a best-t that only
-# ever decreases — its hits satisfy t >= entry > final best, so they can
-# never win (strict <) nor tie. CHAMELEONRT_LEAFQ sets the FIFO depth
+# (extra visits), so the final best t is identical: any extra leaf was
+# culled because its slab entry exceeded a best-t that only ever
+# decreases — its hits satisfy t >= entry > final best, so they can
+# never win (strict <) the t comparison. Scope caveat: enqueue-at-push
+# puts a node's leaf children into the FIFO AHEAD of the descended
+# internal subtree's leaves, whereas eager DFS visits the nearer
+# internal subtree's leaves first — so on EXACT cross-leaf t ties
+# (coplanar/duplicate triangles in different leaves) the winning
+# prim/u/v may differ from the eager order and the XLA oracle. Final t
+# is bit-identical either way; the parity gates pass because the bench
+# scenes have no such exact ties. CHAMELEONRT_LEAFQ sets the FIFO depth
 # (0 disables, restoring phase alternation); CHAMELEONRT_LEAFQ_SLOTS is
 # the minimum count of non-empty queues that triggers a leaf phase.
 LEAFQ_CAP = int(_os.environ.get("CHAMELEONRT_LEAFQ", "32"))
+if LEAFQ_CAP < 0:
+    raise ValueError(
+        f"CHAMELEONRT_LEAFQ must be >= 0 (got {LEAFQ_CAP}); negative FIFO "
+        "depths have no meaning (0 disables deferred leaf queues)"
+    )
 LEAFQ_SLOTS = int(_os.environ.get("CHAMELEONRT_LEAFQ_SLOTS", "0")) or None
+
+
+def _leafq_for(arity: int, leafq: int) -> int:
+    """Clamp a leaf-FIFO depth against the node arity. A depth in
+    1..arity-1 would deadlock the scheduler: the near-full test
+    (lqn > leafq - arity) is already true at lqn == 0, so every iteration
+    runs a leaf phase that dequeues nothing while node phases (the only
+    producers of retirements) never run — the kernel while-loop spins
+    forever (a silent TPU hang). Such depths can't buffer even one node's
+    worth of leaf children, so they degrade to 0 (phase alternation)."""
+    return leafq if leafq >= arity else 0
 
 # ascending sorting networks over child entry distances (closest-hit child
 # ordering; mirrors ops/traverse._SORT_NETS so both paths explore children
@@ -1940,6 +1962,7 @@ def _closest_call_persistent(
         # slot occupancy; sub-K waves (toy renders) lose to the enqueue
         # overhead and the culling lag, so they keep phase alternation
         leafq = 0 if (merged or n_packets < kk) else LEAFQ_CAP
+    leafq = _leafq_for(arity, leafq)
     if stream:
         nodes = jnp.pad(nodes, ((0, 0), (0, 128 - nodes.shape[1])))
         leafs = jnp.pad(leafs, ((0, 0), (0, 128 - leafs.shape[1])))
@@ -2016,6 +2039,7 @@ def _any_call_persistent(
         # slot occupancy; sub-K waves (toy renders) lose to the enqueue
         # overhead and the culling lag, so they keep phase alternation
         leafq = 0 if (merged or n_packets < kk) else LEAFQ_CAP
+    leafq = _leafq_for(arity, leafq)
     if stream:
         nodes = jnp.pad(nodes, ((0, 0), (0, 128 - nodes.shape[1])))
         leafs = jnp.pad(leafs, ((0, 0), (0, 128 - leafs.shape[1])))

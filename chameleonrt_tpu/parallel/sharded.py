@@ -98,6 +98,10 @@ def make_sharded_render_step(
                 scatter_rows=n_dev * shard_h * fb_width,
                 rebalance_axis=AXIS,
                 rebalance_n_dev=n_dev,
+                # pad-row lanes are born dead: migrated rays execute (and
+                # count) on a foreign device, so the crop scaling below
+                # would mis-count them — instead no pad ray ever traces
+                active0=py_raw < fb_height,
             )
             illum = jax.lax.psum_scatter(
                 part, AXIS, scatter_dimension=0, tiled=True
@@ -118,10 +122,15 @@ def make_sharded_render_step(
             )
             illum = illum.reshape(shard_h, fb_width, 3)
         accum = path_tracer.progressive_accum(accum, illum, frame_id)
-        # scale this device's ray count by its real (uncropped) rows so
-        # padding never inflates rays/s
-        real = jnp.clip(jnp.int32(fb_height) - row0.astype(jnp.int32), 0, shard_h)
-        rays = rays * real // shard_h
+        if not (rebalance and n_dev > 1):
+            # scale this device's ray count by its real (uncropped) rows so
+            # padding never inflates rays/s (rebalance mode needs no crop:
+            # pad lanes launch dead via active0 and count zero wherever
+            # their packed rows migrate)
+            real = jnp.clip(
+                jnp.int32(fb_height) - row0.astype(jnp.int32), 0, shard_h
+            )
+            rays = rays * real // shard_h
         rays = jax.lax.psum(rays, AXIS)
         return accum, rays
 
@@ -170,6 +179,7 @@ def _make_sharded_chunked_step(
                 scatter_rows=n_dev * shard_h * fb_width,
                 rebalance_axis=AXIS,
                 rebalance_n_dev=n_dev,
+                active0=py_raw < fb_height,
             )
             # each device owns its SHARD (not chunk) of the global frame;
             # slice out this chunk's rows after the scatter-reduce
@@ -190,12 +200,16 @@ def _make_sharded_chunked_step(
                 px, py, fb_width, fb_height, spp,
             )
             illum = illum.reshape(ch_h, fb_width, 3)
-        real = jnp.clip(
-            jnp.int32(fb_height) - (jax.lax.axis_index(AXIS) * shard_h + y_off).astype(jnp.int32),
-            0,
-            ch_h,
-        )
-        rays = rays * real // ch_h
+        if not (rebalance and n_dev > 1):
+            # (rebalance counts exactly via born-dead pad lanes, see
+            # make_sharded_render_step)
+            real = jnp.clip(
+                jnp.int32(fb_height)
+                - (jax.lax.axis_index(AXIS) * shard_h + y_off).astype(jnp.int32),
+                0,
+                ch_h,
+            )
+            rays = rays * real // ch_h
         rays = jax.lax.psum(rays, AXIS)
         return illum, rays
 

@@ -270,7 +270,11 @@ def cmd_step() -> int:
     #   lanemaj - fused reduces + (K,4)->(4,K) transpose, then the sortnet,
     #             stack pushes/pops and sp bookkeeping all in LANE-major
     #             (1,K)/(DEPTH,K) shapes (one vreg per op instead of 8)
-    VARIANTS = ("fused", "lanemaj", "psfold")
+    #   bf16    - psfold pipeline with the box broadcast, slab math, fold
+    #             and lane-reduce tree all in bfloat16 (half the vregs per
+    #             op; production would pre-expand boxes conservatively so
+    #             the test never false-misses — here we only price the ops)
+    VARIANTS = ("fused", "lanemaj", "psfold", "bf16")
 
     def make(level):
         lv = LEVELS.index(level)
@@ -400,8 +404,11 @@ def cmd_step() -> int:
         return run
 
     def make_variant(name):
-        lanemaj = name in ("lanemaj", "psfold")
-        psfold = name == "psfold"
+        lanemaj = name in ("lanemaj", "psfold", "bf16")
+        psfold = name in ("psfold", "bf16")
+        bf16 = name == "bf16"
+        cdt = jnp.bfloat16 if bf16 else jnp.float32
+        big = jnp.bfloat16(1e30) if bf16 else 1e30
 
         def kernel(tab_ref, o_ref, nrow, vidx, stack_ref, sp_ref, wa, wb):
             vidx[:] = (jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0) * 977) % N
@@ -413,8 +420,8 @@ def cmd_step() -> int:
                 stack_ref[:] = jnp.zeros((K, DEPTH), jnp.int32)
                 sp_ref[:] = jnp.zeros((K, 1), jnp.int32)
                 iota_cols = jax.lax.broadcasted_iota(jnp.int32, (K, DEPTH), 1)
-            wa[:] = jnp.ones((K * PS, 128), jnp.float32)
-            wb[:] = jnp.ones((K * PS, 128), jnp.float32) * 0.5
+            wa[:] = jnp.ones((K * PS, 128), cdt)
+            wb[:] = jnp.full((K * PS, 128), 0.5, cdt)
 
             def body(i, s):
                 vidx[:] = jax.lax.rem(vidx[:] + i, N)
@@ -424,8 +431,15 @@ def cmd_step() -> int:
                     nrow[pl.ds(k, 1), :] = tab_ref[pl.ds(r, 1), :]
                 acc = s
                 rows = nrow[:]
-                cols = [_bc(rows[:, c : c + 1]) for c in range(AR * 6)]
-                ox, ix, tmn, tcap = wa[:], wb[:], 0.0, 1e30
+                if bf16:
+                    # one (K,32) convert per iteration; boxes ride bf16
+                    # from here on (production: values pre-expanded so the
+                    # cast is exact and the test conservative)
+                    rows_b = rows.astype(jnp.bfloat16)
+                else:
+                    rows_b = rows
+                cols = [_bc(rows_b[:, c : c + 1]) for c in range(AR * 6)]
+                ox, ix, tmn, tcap = wa[:], wb[:], cdt(0.0), big
                 keys_k = []
                 for c in range(AR):
                     t0 = (cols[6 * c + 0] - ox) * ix
@@ -441,7 +455,7 @@ def cmd_step() -> int:
                     exit_ = jnp.minimum(jnp.minimum(tf, uf), jnp.minimum(vf, tcap))
                     hit = entry <= exit_
                     # FUSED: one min-reduce yields key (1e30 = miss)
-                    eb = jnp.where(hit, entry, 1e30)
+                    eb = jnp.where(hit, entry, big)
                     if psfold:
                         # pre-fold the PS sub-rows (cheap (K,128) vreg mins)
                         # BEFORE the expensive lane-reduce tree: the shuffle
@@ -482,10 +496,10 @@ def cmd_step() -> int:
                     cswap(a, b)
 
                 sp2 = sp_ref[:]
-                was_int = keys[0] < 1e30  # stand-in mask, same shape class
+                was_int = keys[0] < big  # stand-in mask, same shape class
                 iota = iota_rows if lanemaj else iota_cols
                 for c in range(AR - 1, 0, -1):
-                    pm = (keys[c] < 1e30) & was_int
+                    pm = (keys[c] < big) & was_int
                     stack_ref[:] = jnp.where(
                         (iota == sp2) & pm, codes[c], stack_ref[:]
                     )
@@ -497,7 +511,11 @@ def cmd_step() -> int:
                     keepdims=True,
                 )
                 sp_ref[:] = jnp.where(was_int, spm, sp2)
-                acc = acc + jnp.float32(jnp.sum(popped)) + jnp.sum(keys[0])
+                acc = (
+                    acc
+                    + jnp.float32(jnp.sum(popped))
+                    + jnp.sum(keys[0].astype(jnp.float32))
+                )
                 return acc
 
             acc = jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
@@ -509,6 +527,7 @@ def cmd_step() -> int:
 
         stack_shape = (DEPTH, K) if lanemaj else (K, DEPTH)
         sp_shape = (1, K) if lanemaj else (K, 1)
+        work_dt = jnp.bfloat16 if bf16 else jnp.float32
 
         @jax.jit
         def run(tab):
@@ -522,8 +541,8 @@ def cmd_step() -> int:
                     pltpu.VMEM((K, 1), jnp.int32),
                     pltpu.VMEM(stack_shape, jnp.int32),
                     pltpu.VMEM(sp_shape, jnp.int32),
-                    pltpu.VMEM((K * PS, 128), jnp.float32),
-                    pltpu.VMEM((K * PS, 128), jnp.float32),
+                    pltpu.VMEM((K * PS, 128), work_dt),
+                    pltpu.VMEM((K * PS, 128), work_dt),
                 ],
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=120 * 1024 * 1024
@@ -671,10 +690,21 @@ def cmd_hall(subdiv: int) -> int:
     if len(sys.argv) > 3 and sys.argv[3] == "ps":
         # wider packets: per-iteration cost is ~a*K regardless of packet
         # width, so if coherent rays share visits, ps>2 cuts iterations
-        # nearly linearly at +b*K*ps marginal cost (roofline consequence 3)
-        probe_closest("ps=4", dict(p_sub=4))
-        probe_closest("ps=8", dict(p_sub=8))
+        # nearly linearly at +b*K*ps marginal cost (roofline consequence 3).
+        # Round 5: the fewer-slots x wider-packets family (same resident
+        # rays K*ps, a*K term shrunk 2-4x) that r4 never measured.
         probe_closest("ps=4 K=32", dict(p_sub=4, k_slots=32))
+        probe_closest("ps=8 K=16", dict(p_sub=8, k_slots=16))
+        probe_closest("ps=8 K=32", dict(p_sub=8, k_slots=32))
+        probe_closest("ps=4 K=64", dict(p_sub=4))
+        probe_closest("ps=16 K=16", dict(p_sub=16, k_slots=16))
+    if len(sys.argv) > 3 and sys.argv[3] == "ps2":
+        # round-5 follow-up: ps=4 K=64 won b1 (46.3 vs 50.7 ms; unions grow
+        # x1.28 per width doubling, less than the cost ratio) — push the
+        # same-slots wider-packets direction to its asymptote
+        probe_closest("ps=8 K=64", dict(p_sub=8))
+        probe_closest("ps=16 K=64", dict(p_sub=16))
+        probe_closest("ps=8 K=128", dict(p_sub=8, k_slots=128))
 
     # any-hit: shadow-like wavefront from b0 hits toward a top light point
     lp = jnp.asarray([0.0, float(np.asarray(hp[:, 1]).max() + 1.0), 0.0], jnp.float32)
@@ -715,9 +745,17 @@ def cmd_hall(subdiv: int) -> int:
         )
 
     probe_any("base ps=2 K=64", {})
-    os.environ["CHAMELEONRT_KERNEL_X2"] = "fetch"
-    probe_any("X2=fetch", {})
-    del os.environ["CHAMELEONRT_KERNEL_X2"]
+    if len(sys.argv) > 3 and sys.argv[3] == "ps":
+        probe_any("ps=4 K=32", dict(p_sub=4, k_slots=32))
+        probe_any("ps=8 K=16", dict(p_sub=8, k_slots=16))
+        probe_any("ps=8 K=32", dict(p_sub=8, k_slots=32))
+    if len(sys.argv) > 3 and sys.argv[3] == "ps2":
+        probe_any("ps=4 K=64", dict(p_sub=4))
+        probe_any("ps=8 K=64", dict(p_sub=8))
+    else:
+        os.environ["CHAMELEONRT_KERNEL_X2"] = "fetch"
+        probe_any("X2=fetch", {})
+        del os.environ["CHAMELEONRT_KERNEL_X2"]
     return 0
 
 

@@ -298,10 +298,12 @@ def test_chunked_sharded_step_matches_unchunked():
     base_img, base_rays = results[(1, False)]
     for key, (img, rays) in results.items():
         np.testing.assert_allclose(img, base_img, rtol=1e-5, atol=1e-5, err_msg=str(key))
-        # the pad-row ray-stat correction is a proportional estimate
-        # (rays * real_rows // window_rows); chunked windows round it at
-        # finer granularity, so the integer stat may differ by a hair
-        assert abs(rays - base_rays) <= max(3, base_rays // 100), (key, rays, base_rays)
+        # non-rebalance windows correct for pad rows with a proportional
+        # estimate (rays * real_rows // window_rows) that assumes uniform
+        # rays-per-row; rebalance mode counts exactly (pad lanes launch
+        # born-dead). Exact vs estimate legitimately differ by the
+        # bottom-rows' deviation from the mean — allow a few percent.
+        assert abs(rays - base_rays) <= max(3, base_rays // 25), (key, rays, base_rays)
 
 
 def test_shardmap_packet_kernels_interpret():
