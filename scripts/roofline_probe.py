@@ -570,6 +570,203 @@ def cmd_step() -> int:
     return 0
 
 
+def cmd_step2() -> int:
+    """Round-5 attribution of the POST-psfold node step: the r4 additive
+    ladder priced blocks as they were added; this one prices what REMAINS
+    by removing blocks from the shipped psfold pipeline one at a time
+    (upper bound on each block's savings), plus two reformulations of the
+    per-child packet reduce — the largest survivor:
+
+      full     - the shipped pipeline (fused keys + psfold + lane-major)
+      nofetch  - per-slot row-copy loop removed (rows = previous scratch)
+      noslab   - bcast+slab math removed (keys faked from row columns)
+      nored    - lane-reduce trees removed (keys faked, slab kept)
+      nosort   - sorting network removed
+      nostack  - stack pushes/pop removed
+      xpose    - reduce via (K,128)->(128,K) transpose + 7-step sublane
+                 halving min tree -> (1,K) DIRECTLY lane-major (kills both
+                 the cross-lane shuffle tree and the later (K,AR)->(AR,K)
+                 transpose)
+      stacked  - ONE reduce over the 4 children concatenated sublane-wise
+                 (4K,128) -> (4K,1) -> reshape (AR,K)
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ITERS = 200_000
+    N, K, PS, DEPTH, AR = 60_000, 64, 2, 48, 4
+
+    def make(fetch=True, slab=True, red="psfold", sort=True, stack=True):
+        def kernel(tab_ref, o_ref, nrow, vidx, stack_ref, sp_ref, wa, wb):
+            vidx[:] = (jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0) * 977) % N
+            stack_ref[:] = jnp.zeros((DEPTH, K), jnp.int32)
+            sp_ref[:] = jnp.zeros((1, K), jnp.int32)
+            iota_rows = jax.lax.broadcasted_iota(jnp.int32, (DEPTH, K), 0)
+            wa[:] = jnp.ones((K * PS, 128), jnp.float32)
+            wb[:] = jnp.full((K * PS, 128), 0.5, jnp.float32)
+
+            def body(i, s):
+                vidx[:] = jax.lax.rem(vidx[:] + i, N)
+                if fetch:
+                    for k in range(K):
+                        c = vidx[k, 0]
+                        r = jax.lax.rem(c + i, N)
+                        nrow[pl.ds(k, 1), :] = tab_ref[pl.ds(r, 1), :]
+                acc = s
+                rows = nrow[:]
+                folded = []
+                if slab:
+                    cols = [_bc(rows[:, c : c + 1]) for c in range(AR * 6)]
+                    ox, ix = wa[:], wb[:]
+                    for c in range(AR):
+                        t0 = (cols[6 * c + 0] - ox) * ix
+                        t1 = (cols[6 * c + 3] - ox) * ix
+                        u0 = (cols[6 * c + 1] - ox) * ix
+                        u1 = (cols[6 * c + 4] - ox) * ix
+                        v0 = (cols[6 * c + 2] - ox) * ix
+                        v1 = (cols[6 * c + 5] - ox) * ix
+                        tn, tf = jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+                        un, uf = jnp.minimum(u0, u1), jnp.maximum(u0, u1)
+                        vn, vf = jnp.minimum(v0, v1), jnp.maximum(v0, v1)
+                        entry = jnp.maximum(jnp.maximum(tn, un), jnp.maximum(vn, 0.0))
+                        exit_ = jnp.minimum(jnp.minimum(tf, uf), jnp.minimum(vf, 1e30))
+                        eb = jnp.where(entry <= exit_, entry, 1e30)
+                        # psfold: cheap (K,128) vreg mins over the PS sub-rows
+                        f = eb[:K]
+                        for p in range(1, PS):
+                            f = jnp.minimum(f, eb[p * K : (p + 1) * K])
+                        folded.append(f)
+                if red == "none" or not slab:
+                    # fake lane-major keys straight from row columns: one
+                    # (K,AR) slice + transpose (prices everything downstream
+                    # without the reduce trees)
+                    keysT = rows[:, 0:AR].T
+                    keys = [keysT[c : c + 1, :] for c in range(AR)]
+                    if slab:
+                        # keep the folded values live so slab math isn't DCE'd
+                        acc = acc + folded[0][0, 0]
+                elif red == "psfold":
+                    keys_k = [
+                        jnp.min(folded[c], axis=1).reshape(K, 1) for c in range(AR)
+                    ]
+                    keysT = jnp.concatenate(keys_k, axis=1).T  # (AR,K)
+                    keys = [keysT[c : c + 1, :] for c in range(AR)]
+                elif red == "xpose":
+                    keys = []
+                    for c in range(AR):
+                        ft = folded[c].T  # (128,K)
+                        m = 128
+                        while m > 1:
+                            m //= 2
+                            ft = jnp.minimum(ft[:m], ft[m : 2 * m])
+                        keys.append(ft)  # (1,K)
+                elif red == "stacked":
+                    cat = jnp.concatenate(folded, axis=0)  # (AR*K,128)
+                    el = jnp.min(cat, axis=1, keepdims=True)  # (AR*K,1)
+                    keysT = el.reshape(AR, K)
+                    keys = [keysT[c : c + 1, :] for c in range(AR)]
+                else:
+                    raise ValueError(red)
+                codesT = pltpu.bitcast(rows[:, 24 : 24 + AR], jnp.int32).T
+                codes = [codesT[c : c + 1, :] for c in range(AR)]
+
+                if sort:
+                    def cswap(i_, j_):
+                        sw = keys[i_] > keys[j_]
+                        keys[i_], keys[j_] = (
+                            jnp.where(sw, keys[j_], keys[i_]),
+                            jnp.where(sw, keys[i_], keys[j_]),
+                        )
+                        codes[i_], codes[j_] = (
+                            jnp.where(sw, codes[j_], codes[i_]),
+                            jnp.where(sw, codes[i_], codes[j_]),
+                        )
+
+                    for a, b in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+                        cswap(a, b)
+
+                was_int = keys[0] < 1e30
+                if stack:
+                    sp2 = sp_ref[:]
+                    for c in range(AR - 1, 0, -1):
+                        pm = (keys[c] < 1e30) & was_int
+                        stack_ref[:] = jnp.where(
+                            (iota_rows == sp2) & pm, codes[c], stack_ref[:]
+                        )
+                        sp2 = sp2 + pm.astype(jnp.int32)
+                    spm = jnp.maximum(sp2 - 1, 0)
+                    popped = jnp.sum(
+                        jnp.where(iota_rows == spm, stack_ref[:], 0),
+                        axis=0,
+                        keepdims=True,
+                    )
+                    sp_ref[:] = jnp.where(was_int, spm, sp2)
+                    acc = acc + jnp.float32(jnp.sum(popped))
+                acc = (
+                    acc
+                    + jnp.sum(keys[0].astype(jnp.float32))
+                    + jnp.float32(jnp.sum(codes[0]))
+                )
+                return acc
+
+            acc = jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
+            o_ref[:] = jnp.full((8, 128), acc, jnp.float32)
+
+        def _bc(col):
+            rep = pltpu.repeat(col, PS, axis=0)
+            return jnp.broadcast_to(rep, (K * PS, 128))
+
+        @jax.jit
+        def run(tab):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((K, 32), jnp.float32),
+                    pltpu.VMEM((K, 1), jnp.int32),
+                    pltpu.VMEM((DEPTH, K), jnp.int32),
+                    pltpu.VMEM((1, K), jnp.int32),
+                    pltpu.VMEM((K * PS, 128), jnp.float32),
+                    pltpu.VMEM((K * PS, 128), jnp.float32),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=120 * 1024 * 1024
+                ),
+            )(tab)
+
+        return run
+
+    tab = jnp.ones((N, 32), jnp.float32)
+    cases = [
+        ("full", {}),
+        ("nofetch", dict(fetch=False)),
+        ("noslab", dict(slab=False)),
+        ("nored", dict(red="none")),
+        ("nosort", dict(sort=False)),
+        ("nostack", dict(stack=False)),
+        ("xpose", dict(red="xpose")),
+        ("stacked", dict(red="stacked")),
+    ]
+    base = None
+    for name, kw in cases:
+        try:
+            t = bench(lambda f=make(**kw): f(tab), n=3)
+        except Exception as e:  # compile failures are data too
+            print(f"step2[{name:8s}]: FAILED {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+            continue
+        ns = t / ITERS * 1e9
+        d = "" if base is None else f" (vs full {base - ns:+6.0f})"
+        print(f"step2[{name:8s}]: {ns:7.0f} ns/iter{d}", flush=True)
+        if base is None:
+            base = ns
+    return 0
+
+
 def cmd_hall(subdiv: int) -> int:
     import jax
     import jax.numpy as jnp
@@ -767,6 +964,8 @@ if __name__ == "__main__":
         sys.exit(cmd_fetch())
     if cmd == "step":
         sys.exit(cmd_step())
+    if cmd == "step2":
+        sys.exit(cmd_step2())
     if cmd == "gather":
         sys.exit(cmd_gather())
     sys.exit(cmd_hall(int(sys.argv[2]) if len(sys.argv) > 2 else 4))
