@@ -699,6 +699,7 @@ def _make_persistent_kernel(
     arity=2,
     merged=False,
     leafq=0,
+    n_top=0,
 ):
     """Build the persistent work-queue traversal kernel body for one of the
     four (closest | any) x (flat | unified) variants — ONE parameterized
@@ -767,6 +768,13 @@ def _make_persistent_kernel(
             return args.pop(0)
 
         nodes_ref = take()
+        # VMEM-pinned tree top (streamed tier only): the first n_top rows
+        # of the BFS-ordered node table at their true 8*arity width. Visit
+        # frequency decays geometrically with tree level, so a modest VMEM
+        # prefix absorbs the bulk of node fetches; only deep-subtree rows
+        # pay an HBM DMA (VERDICT r4 #2 — the role of vendor BVH node
+        # caches, render_optix.cpp:160-172).
+        ntop_ref = take() if (stream_tables and n_top) else None
         leafs_ref = take()
         ox_ref, oy_ref, oz_ref = take(), take(), take()
         dx_ref, dy_ref, dz_ref = take(), take(), take()
@@ -824,7 +832,7 @@ def _make_persistent_kernel(
             ref[pl.ds(k, 1), :] = jnp.full((1, 1), val, dtype)
 
         def _fetch_rows(src_ref, dst_scr, sem, cond_fn, row_of, uncond=None,
-                        addr_ref=None):
+                        addr_ref=None, top_ref=None):
             """Per-slot row fetch from the node/leaf table. VMEM tables:
             direct scalar-indexed dynamic-slice copies. Streamed (HBM)
             tables: K async DMAs issued together, then waited together, so
@@ -869,6 +877,46 @@ def _make_persistent_kernel(
                         r = jnp.clip(row_of(c), 0, n_rows - 1)
                         for _r in range(reps):
                             dst_scr[pl.ds(k, 1), :] = src_ref[pl.ds(r, 1), :]
+                return
+            if top_ref is not None:
+                # pinned-top split: rows below n_top copy straight from the
+                # VMEM prefix (at true row width, into the low lanes the
+                # consumers read); only deeper rows pay an HBM DMA. DMAs
+                # start first so they overlap the VMEM copies.
+                nt = top_ref.shape[0]
+                tw = top_ref.shape[1]
+
+                def dma_cond(c):
+                    return jnp.logical_and(cond_fn(c), row_of(c) >= nt)
+
+                for k in range(K):
+                    c = addr_ref[k, 0]
+
+                    @pl.when(dma_cond(c))
+                    def _(k=k, c=c):
+                        pltpu.make_async_copy(
+                            src_ref.at[pl.ds(row_of(c), 1), :],
+                            dst_scr.at[pl.ds(k, 1), :],
+                            sem.at[k],
+                        ).start()
+                for k in range(K):
+                    c = addr_ref[k, 0]
+
+                    @pl.when(jnp.logical_and(cond_fn(c), row_of(c) < nt))
+                    def _(k=k, c=c):
+                        dst_scr[pl.ds(k, 1), 0:tw] = top_ref[
+                            pl.ds(row_of(c), 1), :
+                        ]
+                for k in range(K):
+                    c = addr_ref[k, 0]
+
+                    @pl.when(dma_cond(c))
+                    def _(k=k, c=c):
+                        pltpu.make_async_copy(
+                            src_ref.at[pl.ds(row_of(c), 1), :],
+                            dst_scr.at[pl.ds(k, 1), :],
+                            sem.at[k],
+                        ).wait()
                 return
             for k in range(K):
                 c = addr_ref[k, 0]
@@ -1115,7 +1163,8 @@ def _make_persistent_kernel(
             # the was_int mask discards — unlike leaf rows, whose unguarded
             # MT makes cross-space rows dangerous on the unified layouts
             _fetch_rows(nodes_ref, nrow_scr, node_sem if stream_tables else None,
-                        lambda c: c >= 0, lambda c: c, uncond=not stream_tables)
+                        lambda c: c >= 0, lambda c: c, uncond=not stream_tables,
+                        top_ref=ntop_ref)
             rows = nrow_scr[:]
             ox, oy, oz = w_ox[:], w_oy[:], w_oz[:]
             ix, iy, iz = w_ix[:], w_iy[:], w_iz[:]
@@ -1508,7 +1557,7 @@ def _make_persistent_kernel(
             t decrease / sticky OR) on genuine in-range intersections."""
             ndone, it, useful = state
             _fetch_rows(nodes_ref, nrow_scr, node_sem if stream_tables else None,
-                        lambda c: c >= 0, lambda c: c)
+                        lambda c: c >= 0, lambda c: c, top_ref=ntop_ref)
             _fetch_rows(leafs_ref, lrow_scr, leaf_sem if stream_tables else None,
                         lambda c: jnp.logical_and(c < 0, c > _DONE),
                         lambda c: -c - 1)
@@ -1947,13 +1996,13 @@ def _unpack_rays_pm(y, R):
     jax.jit,
     static_argnames=(
         "L", "depth", "n_packets", "p_sub", "kk", "lt", "stream", "arity",
-        "interpret", "merged", "leafq",
+        "interpret", "merged", "leafq", "n_top",
     ),
 )
 def _closest_call_persistent(
     nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax,
     *, L, depth, n_packets, p_sub, kk=None, lt=None, stream=False, arity=2,
-    interpret=False, merged=False, leafq=None,
+    interpret=False, merged=False, leafq=None, n_top=0,
 ):
     kk = K if kk is None else kk
     lt = LEAF_THRESH if lt is None else lt
@@ -1963,9 +2012,17 @@ def _closest_call_persistent(
         # overhead and the culling lag, so they keep phase alternation
         leafq = 0 if (merged or n_packets < kk) else LEAFQ_CAP
     leafq = _leafq_for(arity, leafq)
+    top = ()
     if stream:
+        if n_top:
+            # VMEM-pinned tree top at true row width (BFS row order makes
+            # the prefix the most-visited levels; see bvhbuilder.cpp
+            # bfs_reorder)
+            top = (nodes[: min(n_top, nodes.shape[0])],)
         nodes = jnp.pad(nodes, ((0, 0), (0, 128 - nodes.shape[1])))
         leafs = jnp.pad(leafs, ((0, 0), (0, 128 - leafs.shape[1])))
+    else:
+        n_top = 0
     rows = n_packets * p_sub
     shape = (rows, P_LANE)
     wshape = (kk * p_sub, P_LANE)
@@ -1973,11 +2030,11 @@ def _closest_call_persistent(
         _make_persistent_kernel(
             closest=True, unified=False, L=L, depth=depth, p_sub=p_sub,
             n_packets=n_packets, kk=kk, leaf_thresh=lt, stream_tables=stream, arity=arity,
-            merged=merged, leafq=leafq,
+            merged=merged, leafq=leafq, n_top=n_top,
         ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM)
-        ] * 2
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM)]
+        + ([pl.BlockSpec(memory_space=pltpu.VMEM)] if top else [])
+        + [pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_shape=[
@@ -2017,20 +2074,20 @@ def _closest_call_persistent(
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax)
+    )(nodes, *top, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "L", "depth", "n_packets", "p_sub", "kk", "lt", "stream", "arity",
-        "interpret", "merged", "leafq",
+        "interpret", "merged", "leafq", "n_top",
     ),
 )
 def _any_call_persistent(
     nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax,
     *, L, depth, n_packets, p_sub, kk=None, lt=None, stream=False, arity=2,
-    interpret=False, merged=False, leafq=None,
+    interpret=False, merged=False, leafq=None, n_top=0,
 ):
     kk = K if kk is None else kk
     lt = LEAF_THRESH if lt is None else lt
@@ -2040,20 +2097,25 @@ def _any_call_persistent(
         # overhead and the culling lag, so they keep phase alternation
         leafq = 0 if (merged or n_packets < kk) else LEAFQ_CAP
     leafq = _leafq_for(arity, leafq)
+    top = ()
     if stream:
+        if n_top:
+            top = (nodes[: min(n_top, nodes.shape[0])],)
         nodes = jnp.pad(nodes, ((0, 0), (0, 128 - nodes.shape[1])))
         leafs = jnp.pad(leafs, ((0, 0), (0, 128 - leafs.shape[1])))
+    else:
+        n_top = 0
     rows = n_packets * p_sub
     wshape = (kk * p_sub, P_LANE)
     return pl.pallas_call(
         _make_persistent_kernel(
             closest=False, unified=False, L=L, depth=depth, p_sub=p_sub,
             n_packets=n_packets, kk=kk, leaf_thresh=lt, stream_tables=stream, arity=arity,
-            merged=merged, leafq=leafq,
+            merged=merged, leafq=leafq, n_top=n_top,
         ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM)
-        ] * 2
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM)]
+        + ([pl.BlockSpec(memory_space=pltpu.VMEM)] if top else [])
+        + [pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_shape=[
@@ -2087,7 +2149,35 @@ def _any_call_persistent(
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax)
+    )(nodes, *top, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax)
+
+
+def _auto_n_top(pbvh, n_rays: int, p_sub: int, closest: bool) -> int:
+    """Node-table rows to pin in VMEM for the streamed tier. The builder
+    emits BFS row order (bvhbuilder.cpp bfs_reorder), so rows[:n] are the
+    top levels — visit frequency decays geometrically with level, and a
+    VMEM prefix absorbs the bulk of node fetches while only deep-subtree
+    rows pay an HBM DMA. Budget: whatever VMEM the resident rays/outputs/
+    scratch leave under VMEM_FIT_BUDGET, minus slack (an untiled (n, w)
+    f32 VMEM window costs n*128*4 bytes regardless of w <= 128 — Mosaic
+    pads the lane dim; see _vmem_window_bytes). Env CHAMELEONRT_STREAM_TOP
+    overrides (0 disables)."""
+    ov = _os.environ.get("CHAMELEONRT_STREAM_TOP")
+    if ov is not None:
+        n = int(ov)
+        if n < 0:
+            raise ValueError(f"CHAMELEONRT_STREAM_TOP must be >= 0, got {n}")
+        return min(n, int(pbvh.nodes.shape[0]))
+    n_packets = max(1, -(-n_rays // (p_sub * P_LANE)))
+    ray_bytes = _ray_arrays(closest, True) * n_packets * p_sub * P_LANE * 4
+    scratch = 18 * K * p_sub * P_LANE * 4
+    slack = 16 * 1024 * 1024
+    avail = VMEM_FIT_BUDGET - ray_bytes - scratch - slack
+    if avail <= 0:
+        return 0
+    n = min(int(pbvh.nodes.shape[0]), avail // (P_LANE * 4))
+    n = (n // 8) * 8
+    return n if n >= 1024 else 0
 
 
 def _merged_phase_default() -> bool:
@@ -2103,12 +2193,14 @@ def _merged_phase_default() -> bool:
 def traverse_closest_persistent(
     pbvh: PackedBvh, orig, dir, t_min, active, t_max=None,
     interpret=False, return_iters=False, p_sub=DEFAULT_P_SUB,
-    k_slots=None, leaf_thresh=None, stream=False, merged=None,
+    k_slots=None, leaf_thresh=None, stream=False, merged=None, n_top=None,
 ):
     """Work-queue persistent closest-hit traversal. Same contract as
     traverse_closest_packet."""
     if merged is None:
         merged = _merged_phase_default()
+    if n_top is None:
+        n_top = _auto_n_top(pbvh, orig.shape[0], p_sub, True) if stream else 0
     R = orig.shape[0]
     n_packets = max(1, -(-R // (p_sub * P_LANE)))
     ox = _pack_rays_pm(jnp.where(active, orig[:, 0], _BIG), n_packets, p_sub, _BIG)
@@ -2127,7 +2219,7 @@ def traverse_closest_persistent(
         pbvh.nodes, pbvh.leaf_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
         L=pbvh.leaf_size, depth=depth, n_packets=n_packets, p_sub=p_sub,
         kk=k_slots, lt=leaf_thresh, stream=stream, arity=pbvh.arity,
-        interpret=interpret, merged=merged,
+        interpret=interpret, merged=merged, n_top=n_top,
     )
     if return_iters:
         # (iterations, useful slot-steps) — see the kernel's it_out layout
@@ -2148,12 +2240,14 @@ def traverse_closest_persistent(
 def traverse_any_persistent(
     pbvh: PackedBvh, orig, dir, t_min, t_max, mask,
     interpret=False, return_iters=False, p_sub=DEFAULT_P_SUB,
-    k_slots=None, leaf_thresh=None, stream=False, merged=None,
+    k_slots=None, leaf_thresh=None, stream=False, merged=None, n_top=None,
 ):
     """Work-queue persistent any-hit traversal. Same contract as
     traverse_any_packet."""
     if merged is None:
         merged = _merged_phase_default()
+    if n_top is None:
+        n_top = _auto_n_top(pbvh, orig.shape[0], p_sub, False) if stream else 0
     R = orig.shape[0]
     n_packets = max(1, -(-R // (p_sub * P_LANE)))
     ox = _pack_rays_pm(jnp.where(mask, orig[:, 0], _BIG), n_packets, p_sub, _BIG)
@@ -2172,7 +2266,7 @@ def traverse_any_persistent(
         pbvh.nodes, pbvh.leaf_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
         L=pbvh.leaf_size, depth=depth, n_packets=n_packets, p_sub=p_sub,
         kk=k_slots, lt=leaf_thresh, stream=stream, arity=pbvh.arity,
-        interpret=interpret, merged=merged,
+        interpret=interpret, merged=merged, n_top=n_top,
     )
     if return_iters:
         # (iterations, useful slot-steps) — see the kernel's it_out layout

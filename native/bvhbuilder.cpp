@@ -13,7 +13,9 @@
 // Exposed over a plain C ABI for ctypes (chameleonrt_tpu/native.py).
 
 #include <algorithm>
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <limits>
@@ -599,6 +601,12 @@ void *crt_bvh_build_w(const float *v0, const float *e1, const float *e2,
                       int64_t n, int32_t leaf_size, int32_t wide_arity) {
     if (n <= 0 || leaf_size <= 0) return nullptr;
     if (wide_arity < 2 || wide_arity > 16) wide_arity = 4;
+    const bool prof = std::getenv("CRT_BVH_PROFILE") != nullptr;
+    auto now = [] { return std::chrono::steady_clock::now(); };
+    auto ms = [](auto a, auto b) {
+        return std::chrono::duration<double, std::milli>(b - a).count();
+    };
+    auto t0 = now();
     Builder b;
     b.v0 = v0;
     b.e1 = e1;
@@ -606,12 +614,22 @@ void *crt_bvh_build_w(const float *v0, const float *e1, const float *e2,
     b.n = n;
     b.leaf_size = leaf_size;
     b.run();
+    auto t1 = now();
     Packed *p = pack(b);
+    auto t2 = now();
     p->wide_arity = wide_arity;
     packw(b, p);
+    auto t3 = now();
     bfs_reorder(p->nodes, p->n_internal, 16, 12, 2);
     bfs_reorder(p->nodes4, p->n_nodes4, 8 * wide_arity, 6 * wide_arity,
                 wide_arity);
+    if (prof) {
+        std::fprintf(stderr,
+                     "crt_bvh n=%lld build=%.0fms pack=%.0fms packw=%.0fms "
+                     "bfs=%.0fms\n",
+                     static_cast<long long>(n), ms(t0, t1), ms(t1, t2),
+                     ms(t2, t3), ms(t3, now()));
+    }
     return p;
 }
 

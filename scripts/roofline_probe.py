@@ -767,6 +767,226 @@ def cmd_step2() -> int:
     return 0
 
 
+def cmd_step3() -> int:
+    """SLOT-LANE layout spike (round 5): slots live on LANES (K=128, one
+    per lane), a packet's rays on SUBLANES — the working block per
+    coordinate is (S, K). Consequences vs the shipped sublane-slot layout:
+      - the per-child packet reduce becomes a SUBLANE halving tree
+        (elementwise mins on shrinking row counts) that lands DIRECTLY as
+        a (1, K) lane-major key — no cross-lane shuffle tree, no
+        (K,arity)->(arity,K) transpose (step2 priced the reduces at
+        ~538 ns of the 1341 ns step, 40%);
+      - box-column broadcasts become sublane broadcasts of (1, K) rows
+        (one transposed (row_w, K) node-row matrix per iteration);
+      - sortnet/stack/pop shapes are unchanged ((1,K)/(depth,K)) but K
+        doubles to fill the 128 lanes.
+    Prices the full node step at S=128/256/512 per 16K rays against the
+    step2 'full' number (1341 ns at K=64 ps=2 = 16K rays).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ITERS = 200_000
+    N, K, DEPTH, AR = 60_000, 128, 48, 4
+    ROW_W = 32
+
+    def make(S, fetch=True, xpose=True, slab=True, red=True, stackon=True,
+             tree="halve", xmode="t"):
+        def kernel(tab_ref, o_ref, nrow, nrow_t, vidx, stack_ref, sp_ref, wa, wb):
+            vidx[:] = (jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0) * 977) % N
+            stack_ref[:] = jnp.zeros((DEPTH, K), jnp.int32)
+            sp_ref[:] = jnp.zeros((1, K), jnp.int32)
+            iota_rows = jax.lax.broadcasted_iota(jnp.int32, (DEPTH, K), 0)
+            wa[:] = jnp.ones((S, K), jnp.float32)
+            wb[:] = jnp.full((S, K), 0.5, jnp.float32)
+
+            def body(i, s):
+                vidx[:] = jax.lax.rem(vidx[:] + i, N)
+                if fetch:
+                    for k in range(K):
+                        c = vidx[k, 0]
+                        r = jax.lax.rem(c + i, N)
+                        nrow[pl.ds(k, 1), :] = tab_ref[pl.ds(r, 1), :]
+                acc = s
+                if xpose:
+                    # ONE transpose per iteration: node rows to lane-major
+                    if xmode == "mxu":
+                        # transpose as an MXU contraction with an identity:
+                        # dot_general(X(K,W), I(K,K), contract dim0 x dim0)
+                        # -> (W, K) = X.T
+                        nrow_t[:] = jax.lax.dot_general(
+                            nrow[:], jnp.eye(K, dtype=jnp.float32),
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    else:
+                        nrow_t[:] = nrow[:].T  # (ROW_W, K)
+                rt = nrow_t[:]
+                ox, ix = wa[:], wb[:]
+
+                def bc(c):
+                    return jnp.broadcast_to(rt[c : c + 1, :], (S, K))
+
+                keys = []
+                if slab:
+                    for c in range(AR):
+                        t0 = (bc(6 * c + 0) - ox) * ix
+                        t1 = (bc(6 * c + 3) - ox) * ix
+                        u0 = (bc(6 * c + 1) - ox) * ix
+                        u1 = (bc(6 * c + 4) - ox) * ix
+                        v0 = (bc(6 * c + 2) - ox) * ix
+                        v1 = (bc(6 * c + 5) - ox) * ix
+                        tn, tf = jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+                        un, uf = jnp.minimum(u0, u1), jnp.maximum(u0, u1)
+                        vn, vf = jnp.minimum(v0, v1), jnp.maximum(v0, v1)
+                        entry = jnp.maximum(jnp.maximum(tn, un), jnp.maximum(vn, 0.0))
+                        exit_ = jnp.minimum(jnp.minimum(tf, uf), jnp.minimum(vf, 1e30))
+                        eb = jnp.where(entry <= exit_, entry, 1e30)
+                        if not red:
+                            acc = acc + eb[0, 0]
+                            continue
+                        # sublane halving tree -> (1, K) lane-major key
+                        if tree == "halve":
+                            m = S
+                            while m > 1:
+                                m //= 2
+                                eb = jnp.minimum(eb[:m], eb[m : 2 * m])
+                        elif tree == "min8":
+                            # halve only to one sublane tile (8 rows), let
+                            # Mosaic finish with its native sublane reduce
+                            # (the sub-tile halvings measured ~100 ns EACH)
+                            m = S
+                            while m > 8:
+                                m //= 2
+                                eb = jnp.minimum(eb[:m], eb[m : 2 * m])
+                            eb = jnp.min(eb, axis=0, keepdims=True)
+                        elif tree == "roll8":
+                            m = S
+                            while m > 8:
+                                m //= 2
+                                eb = jnp.minimum(eb[:m], eb[m : 2 * m])
+                            for sh in (4, 2, 1):
+                                eb = jnp.minimum(
+                                    eb, pltpu.roll(eb, shift=sh, axis=0)
+                                )
+                            eb = eb[0:1]
+                        else:
+                            raise ValueError(tree)
+                        keys.append(eb)
+                if not keys:
+                    keys = [rt[c : c + 1, :] for c in range(AR)]
+                codes = [
+                    pltpu.bitcast(rt[24 + c : 25 + c, :], jnp.int32)
+                    for c in range(AR)
+                ]
+
+                def cswap(i_, j_):
+                    sw = keys[i_] > keys[j_]
+                    keys[i_], keys[j_] = (
+                        jnp.where(sw, keys[j_], keys[i_]),
+                        jnp.where(sw, keys[i_], keys[j_]),
+                    )
+                    codes[i_], codes[j_] = (
+                        jnp.where(sw, codes[j_], codes[i_]),
+                        jnp.where(sw, codes[i_], codes[j_]),
+                    )
+
+                for a, b in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+                    cswap(a, b)
+
+                was_int = keys[0] < 1e30
+                if stackon:
+                    sp2 = sp_ref[:]
+                    for c in range(AR - 1, 0, -1):
+                        pm = (keys[c] < 1e30) & was_int
+                        stack_ref[:] = jnp.where(
+                            (iota_rows == sp2) & pm, codes[c], stack_ref[:]
+                        )
+                        sp2 = sp2 + pm.astype(jnp.int32)
+                    spm = jnp.maximum(sp2 - 1, 0)
+                    popped = jnp.sum(
+                        jnp.where(iota_rows == spm, stack_ref[:], 0),
+                        axis=0,
+                        keepdims=True,
+                    )
+                    sp_ref[:] = jnp.where(was_int, spm, sp2)
+                    acc = acc + jnp.float32(jnp.sum(popped))
+                acc = (
+                    acc
+                    + jnp.sum(keys[0].astype(jnp.float32))
+                    + jnp.float32(jnp.sum(codes[0]))
+                )
+                return acc
+
+            acc = jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
+            o_ref[:] = jnp.full((8, 128), acc, jnp.float32)
+
+        @jax.jit
+        def run(tab):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((K, ROW_W), jnp.float32),
+                    pltpu.VMEM((ROW_W, K), jnp.float32),
+                    pltpu.VMEM((K, 1), jnp.int32),
+                    pltpu.VMEM((DEPTH, K), jnp.int32),
+                    pltpu.VMEM((1, K), jnp.int32),
+                    pltpu.VMEM((S, K), jnp.float32),
+                    pltpu.VMEM((S, K), jnp.float32),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=120 * 1024 * 1024
+                ),
+            )(tab)
+
+        return run
+
+    tab = jnp.ones((N, ROW_W), jnp.float32)
+    cases = [("S128", dict(S=128)), ("S256", dict(S=256)), ("S512", dict(S=512))]
+    if len(sys.argv) > 2 and sys.argv[2] == "attr":
+        cases = [
+            ("S256", dict(S=256)),
+            ("nofetch", dict(S=256, fetch=False)),
+            ("noxpose", dict(S=256, xpose=False)),
+            ("noslab", dict(S=256, slab=False)),
+            ("nored", dict(S=256, red=False)),
+            ("nostack", dict(S=256, stackon=False)),
+        ]
+    if len(sys.argv) > 2 and sys.argv[2] == "red":
+        cases = [
+            ("S256", dict(S=256)),
+            ("min8", dict(S=256, tree="min8")),
+            ("roll8", dict(S=256, tree="roll8")),
+            ("mxpose", dict(S=256, tree="min8", xmode="mxu")),
+            ("S512min8", dict(S=512, tree="min8")),
+            ("S1024m8", dict(S=1024, tree="min8")),
+        ]
+    base = None
+    for name, kw in cases:
+        try:
+            t = bench(lambda f=make(**kw): f(tab), n=3)
+        except Exception as e:
+            print(f"step3[{name:8s}]: FAILED {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+            continue
+        ns = t / ITERS * 1e9
+        rays = kw["S"] * K
+        d = "" if base is None else f" (vs S256 {base - ns:+6.0f})"
+        print(
+            f"step3[{name:8s}]: {ns:7.0f} ns/iter  rays/iter={rays}"
+            f"  ns/16K rays={ns * 16384 / rays:7.0f}{d}",
+            flush=True,
+        )
+        if base is None:
+            base = ns
+    return 0
+
+
 def cmd_hall(subdiv: int) -> int:
     import jax
     import jax.numpy as jnp
@@ -966,6 +1186,8 @@ if __name__ == "__main__":
         sys.exit(cmd_step())
     if cmd == "step2":
         sys.exit(cmd_step2())
+    if cmd == "step3":
+        sys.exit(cmd_step3())
     if cmd == "gather":
         sys.exit(cmd_gather())
     sys.exit(cmd_hall(int(sys.argv[2]) if len(sys.argv) > 2 else 4))

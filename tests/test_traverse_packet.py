@@ -213,3 +213,33 @@ def test_persistent_stream_matches_vmem(scene_and_rays):
     )
     assert np.array_equal(np.asarray(p0), np.asarray(p1))
     assert np.array_equal(np.asarray(t0), np.asarray(t1))
+
+
+def test_persistent_stream_pinned_top_matches_vmem(scene_and_rays):
+    """The VMEM-pinned-top streamed variant (n_top rows of the BFS-ordered
+    node table fetched from a VMEM prefix, deeper rows DMA'd) must agree
+    bit-exactly with the VMEM-table variant, including n_top mid-table and
+    n_top >= all rows (the whole node table pinned, leaves still
+    streamed)."""
+    pbvh, orig, d, active = scene_and_rays
+    t_min = jnp.full(orig.shape[:1], 1e-4, jnp.float32)
+    t0, p0, _, _ = tp.traverse_closest_persistent(
+        pbvh, orig, d, t_min, active, interpret=True
+    )
+    n_nodes = int(pbvh.nodes.shape[0])
+    for n_top in (max(1, n_nodes // 3), n_nodes):
+        t1, p1, _, _ = tp.traverse_closest_persistent(
+            pbvh, orig, d, t_min, active, interpret=True, stream=True,
+            n_top=n_top,
+        )
+        assert np.array_equal(np.asarray(p0), np.asarray(p1)), n_top
+        assert np.array_equal(np.asarray(t0), np.asarray(t1)), n_top
+    tmax = jnp.where(t0 < 1e19, t0 * 1.001, 30.0)
+    o0 = tp.traverse_any_persistent(
+        pbvh, orig, d, t_min, tmax, active, interpret=True
+    )
+    o1 = tp.traverse_any_persistent(
+        pbvh, orig, d, t_min, tmax, active, interpret=True, stream=True,
+        n_top=max(1, n_nodes // 3),
+    )
+    assert np.array_equal(np.asarray(o0), np.asarray(o1))
