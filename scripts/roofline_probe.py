@@ -793,7 +793,7 @@ def cmd_step3() -> int:
     ROW_W = 32
 
     def make(S, fetch=True, xpose=True, slab=True, red=True, stackon=True,
-             tree="halve", xmode="t"):
+             tree="halve", xmode="t", slabmode="base"):
         def kernel(tab_ref, o_ref, nrow, nrow_t, vidx, stack_ref, sp_ref, wa, wb):
             vidx[:] = (jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0) * 977) % N
             stack_ref[:] = jnp.zeros((DEPTH, K), jnp.int32)
@@ -829,21 +829,73 @@ def cmd_step3() -> int:
                 def bc(c):
                     return jnp.broadcast_to(rt[c : c + 1, :], (S, K))
 
+                # loop-invariant per-ray precompute (slabmode="fma"):
+                # t = box*inv - o*inv, so hoist oix = ox*ix once and the
+                # per-plane distance is one FMA with an implicitly
+                # broadcast (1,K) box row instead of bcast+sub+mul.
+                oix = ox * ix
+                if slabmode == "bf16":
+                    # packed-bf16 slab: boxes + ray state in bfloat16, the
+                    # compare/where and reduce in f32 (conservative box
+                    # rounding would preserve correctness in the real
+                    # kernel — this prices whether Mosaic runs packed
+                    # bf16 elementwise at 2x f32 rate)
+                    rt16 = rt.astype(jnp.bfloat16)
+                    ox16, ix16 = ox.astype(jnp.bfloat16), ix.astype(jnp.bfloat16)
+
                 keys = []
                 if slab:
                     for c in range(AR):
-                        t0 = (bc(6 * c + 0) - ox) * ix
-                        t1 = (bc(6 * c + 3) - ox) * ix
-                        u0 = (bc(6 * c + 1) - ox) * ix
-                        u1 = (bc(6 * c + 4) - ox) * ix
-                        v0 = (bc(6 * c + 2) - ox) * ix
-                        v1 = (bc(6 * c + 5) - ox) * ix
-                        tn, tf = jnp.minimum(t0, t1), jnp.maximum(t0, t1)
-                        un, uf = jnp.minimum(u0, u1), jnp.maximum(u0, u1)
-                        vn, vf = jnp.minimum(v0, v1), jnp.maximum(v0, v1)
-                        entry = jnp.maximum(jnp.maximum(tn, un), jnp.maximum(vn, 0.0))
-                        exit_ = jnp.minimum(jnp.minimum(tf, uf), jnp.minimum(vf, 1e30))
-                        eb = jnp.where(entry <= exit_, entry, 1e30)
+                        if slabmode == "bf16":
+                            def bc16(cc):
+                                return jnp.broadcast_to(
+                                    rt16[cc : cc + 1, :], (S, K)
+                                )
+                            t0 = (bc16(6 * c + 0) - ox16) * ix16
+                            t1 = (bc16(6 * c + 3) - ox16) * ix16
+                            u0 = (bc16(6 * c + 1) - ox16) * ix16
+                            u1 = (bc16(6 * c + 4) - ox16) * ix16
+                            v0 = (bc16(6 * c + 2) - ox16) * ix16
+                            v1 = (bc16(6 * c + 5) - ox16) * ix16
+                            tn, tf = jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+                            un, uf = jnp.minimum(u0, u1), jnp.maximum(u0, u1)
+                            vn, vf = jnp.minimum(v0, v1), jnp.maximum(v0, v1)
+                            zero16 = jnp.bfloat16(0.0)
+                            big16 = jnp.bfloat16(1e30)
+                            entry = jnp.maximum(
+                                jnp.maximum(tn, un), jnp.maximum(vn, zero16)
+                            )
+                            exit_ = jnp.minimum(
+                                jnp.minimum(tf, uf), jnp.minimum(vf, big16)
+                            )
+                            eb = jnp.where(
+                                entry <= exit_, entry, big16
+                            ).astype(jnp.float32)
+                        elif slabmode == "fma":
+                            t0 = rt[6 * c + 0 : 6 * c + 1, :] * ix - oix
+                            t1 = rt[6 * c + 3 : 6 * c + 4, :] * ix - oix
+                            u0 = rt[6 * c + 1 : 6 * c + 2, :] * ix - oix
+                            u1 = rt[6 * c + 4 : 6 * c + 5, :] * ix - oix
+                            v0 = rt[6 * c + 2 : 6 * c + 3, :] * ix - oix
+                            v1 = rt[6 * c + 5 : 6 * c + 6, :] * ix - oix
+                        else:
+                            t0 = (bc(6 * c + 0) - ox) * ix
+                            t1 = (bc(6 * c + 3) - ox) * ix
+                            u0 = (bc(6 * c + 1) - ox) * ix
+                            u1 = (bc(6 * c + 4) - ox) * ix
+                            v0 = (bc(6 * c + 2) - ox) * ix
+                            v1 = (bc(6 * c + 5) - ox) * ix
+                        if slabmode != "bf16":
+                            tn, tf = jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+                            un, uf = jnp.minimum(u0, u1), jnp.maximum(u0, u1)
+                            vn, vf = jnp.minimum(v0, v1), jnp.maximum(v0, v1)
+                            entry = jnp.maximum(
+                                jnp.maximum(tn, un), jnp.maximum(vn, 0.0)
+                            )
+                            exit_ = jnp.minimum(
+                                jnp.minimum(tf, uf), jnp.minimum(vf, 1e30)
+                            )
+                            eb = jnp.where(entry <= exit_, entry, 1e30)
                         if not red:
                             acc = acc + eb[0, 0]
                             continue
@@ -965,6 +1017,23 @@ def cmd_step3() -> int:
             ("mxpose", dict(S=256, tree="min8", xmode="mxu")),
             ("S512min8", dict(S=512, tree="min8")),
             ("S1024m8", dict(S=1024, tree="min8")),
+        ]
+    if len(sys.argv) > 2 and sys.argv[2] == "opt":
+        cases = [
+            ("S512", dict(S=512)),
+            ("S512fma", dict(S=512, slabmode="fma")),
+            ("S1024fma", dict(S=1024, slabmode="fma")),
+            ("S256fma", dict(S=256, slabmode="fma")),
+            ("attr_nosl", dict(S=512, slab=False)),
+            ("attr_nost", dict(S=512, stackon=False, slabmode="fma")),
+        ]
+    if len(sys.argv) > 2 and sys.argv[2] == "bf16":
+        cases = [
+            ("S512", dict(S=512)),
+            ("S512bf16", dict(S=512, slabmode="bf16")),
+            ("S256bf16", dict(S=256, slabmode="bf16")),
+            ("S64", dict(S=64)),
+            ("S128", dict(S=128)),
         ]
     base = None
     for name, kw in cases:
