@@ -45,6 +45,24 @@ from chameleonrt_tpu.ops.traverse_packet import (
     traverse_closest_packet,
     traverse_closest_persistent,
 )
+from chameleonrt_tpu.ops.traverse_slotlane import (
+    slotlane_eligible,
+    traverse_any_slotlane,
+    traverse_closest_slotlane,
+)
+
+
+def _slotlane_enabled() -> bool:
+    """Slot-lane group-barrier kernels (ops/traverse_slotlane.py) for FLAT
+    scenes: full-density (S,K) vector work, measured faster than the
+    work-queue persistent kernels per step (roofline_probe step3).
+    Env CHAMELEONRT_SLOTLANE=0/1 overrides."""
+    import os
+
+    ov = os.environ.get("CHAMELEONRT_SLOTLANE")
+    if ov is not None:
+        return ov not in ("0", "false", "off")
+    return False
 
 
 def _packet_enabled() -> bool:
@@ -567,7 +585,20 @@ def make_trace_fns(meta: SceneMeta):
                 )
             o, d = _object_rays(flat, inst_id, orig, dir)
             pbvh_c = _closest_table(flat.blas[mesh_id])
-            if _packet_enabled() and persistent_eligible(pbvh_c, o.shape[0]):
+            if (
+                _packet_enabled()
+                and _slotlane_enabled()
+                and slotlane_eligible(pbvh_c, o.shape[0])
+            ):
+                t, prim, u, v = traverse_closest_slotlane(
+                    pbvh_c,
+                    o,
+                    d,
+                    jnp.broadcast_to(jnp.float32(t_min), o.shape[:1]),
+                    inst_active,
+                    t_max=best.t,
+                )
+            elif _packet_enabled() and persistent_eligible(pbvh_c, o.shape[0]):
                 t, prim, u, v = traverse_closest_persistent(
                     pbvh_c,
                     o,
@@ -699,7 +730,20 @@ def make_trace_fns(meta: SceneMeta):
             # grid fallback remains binary-only
             pbvh_a = flat.blas[mesh_id].any
             pbvh_c = flat.blas[mesh_id].closest
-            if _packet_enabled() and persistent_eligible(
+            if (
+                _packet_enabled()
+                and _slotlane_enabled()
+                and slotlane_eligible(pbvh_a, o.shape[0], closest=False)
+            ):
+                occluded = occluded | traverse_any_slotlane(
+                    pbvh_a,
+                    o,
+                    d,
+                    jnp.broadcast_to(jnp.float32(EPSILON), o.shape[:1]),
+                    t_max,
+                    inst_mask,
+                )
+            elif _packet_enabled() and persistent_eligible(
                 pbvh_a, o.shape[0], closest=False
             ):
                 occluded = occluded | traverse_any_persistent(

@@ -2161,23 +2161,23 @@ def _auto_n_top(pbvh, n_rays: int, p_sub: int, closest: bool) -> int:
     scratch leave under VMEM_FIT_BUDGET, minus slack (an untiled (n, w)
     f32 VMEM window costs n*128*4 bytes regardless of w <= 128 — Mosaic
     pads the lane dim; see _vmem_window_bytes). Env CHAMELEONRT_STREAM_TOP
-    overrides (0 disables)."""
+    overrides (0 disables).
+
+    DEFAULT 0 — measured a LOSS on v5e (rungholt_city 640x360 frames:
+    no pin 904 ms, 16K-row pin 1093 ms, max-VMEM auto pin 1479 ms; round
+    5). The split fetch's extra per-slot conditional loops cost more than
+    the avoided DMAs: the K row DMAs of an iteration are issued together
+    and overlap into ~one HBM round trip regardless, so pinning saves
+    bandwidth the iteration never waits on, while its dma_cond/VMEM-copy
+    scalar loops run every iteration. The knob stays for re-measurement
+    on hardware with different DMA latency."""
     ov = _os.environ.get("CHAMELEONRT_STREAM_TOP")
     if ov is not None:
         n = int(ov)
         if n < 0:
             raise ValueError(f"CHAMELEONRT_STREAM_TOP must be >= 0, got {n}")
         return min(n, int(pbvh.nodes.shape[0]))
-    n_packets = max(1, -(-n_rays // (p_sub * P_LANE)))
-    ray_bytes = _ray_arrays(closest, True) * n_packets * p_sub * P_LANE * 4
-    scratch = 18 * K * p_sub * P_LANE * 4
-    slack = 16 * 1024 * 1024
-    avail = VMEM_FIT_BUDGET - ray_bytes - scratch - slack
-    if avail <= 0:
-        return 0
-    n = min(int(pbvh.nodes.shape[0]), avail // (P_LANE * 4))
-    n = (n // 8) * 8
-    return n if n >= 1024 else 0
+    return 0
 
 
 def _merged_phase_default() -> bool:
