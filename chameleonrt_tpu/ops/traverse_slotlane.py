@@ -58,8 +58,11 @@ from chameleonrt_tpu.ops.traverse_packet import (
     _BIG,
     _DONE,
     _MT_EPS,
+    _PARKED,
     _SORT_NETS,
+    _leafq_for,
     _safe_inv,
+    LEAFQ_CAP,
     VMEM_LIMIT,
     _vmem_window_bytes,
     VMEM_FIT_BUDGET,
@@ -170,8 +173,12 @@ def _mt_sl(lrt, L, S, ox, oy, oz, dx, dy, dz, t_min, t_cap):
 
 def _make_slotlane_kernel(
     *, closest, L, depth, S, arity, leaf_thresh, kk,
-    unified=False, n_tri=0, tlas_lo=0,
+    unified=False, n_tri=0, tlas_lo=0, leafq=0,
 ):
+    assert not (leafq and unified), (
+        "deferred leaf queues are flat-only here too: queued leaf codes "
+        "outlive the ray space they were culled in"
+    )
     """Kernel body for (closest | any) x (flat | unified) slot-lane
     traversal. UNIFIED (two-level TLAS+BLAS tables): the per-slot scalar
     entry/restore blocks of the work-queue kernels become DENSE (S, kk)
@@ -210,6 +217,9 @@ def _make_slotlane_kernel(
         if unified:
             (obj_ref, inst_ref, w_ox, w_oy, w_oz, w_dx, w_dy, w_dz,
              w_ix, w_iy, w_iz) = scr[7:]
+        if leafq:
+            lq_ref, lqh_ref, lqn_ref = scr[7:]
+            iota_q = jax.lax.broadcasted_iota(jnp.int32, (leafq, kk), 0)
 
         t_min = tmin_ref[:]
         t_max = tmax_ref[:]
@@ -252,6 +262,10 @@ def _make_slotlane_kernel(
         cur_ref[:] = jnp.full((kk, 1), root, jnp.int32)
         sp_ref[:] = jnp.zeros((1, kk), jnp.int32)
         lrow_scr[:] = jnp.zeros_like(lrow_scr)  # stale-leaf guard (no-op MT)
+        if leafq:
+            lq_ref[:] = jnp.full((leafq, kk), -1, jnp.int32)
+            lqh_ref[:] = jnp.full((kk, 1), -1, jnp.int32)
+            lqn_ref[:] = jnp.zeros((1, kk), jnp.int32)
         if closest:
             # best state lives in the out refs — the pipeline writes the
             # block back when the group completes
@@ -341,32 +355,85 @@ def _make_slotlane_kernel(
 
                 for i, j in _SORT_NETS[arity]:
                     _cswap(i, j)
-                best_hit = keys[0] < _BIG
-                best_code = kcodes[0]
+                hitlist = [keys[c] < _BIG for c in range(arity)]
+                codelist = kcodes
+            else:
+                early = _reduce_min_sl(occ) > 0.0  # (1,kk)
+                hitlist = [ch_hit[c] > 0.0 for c in range(arity)]
+                codelist = codes
+
+            if leafq:
+                # ENQUEUE-AT-PUSH (deferred leaves, as the work-queue
+                # kernels since r4): hit LEAF children go straight into
+                # the slot's lane-major FIFO; only INTERNAL children
+                # descend or push, so cur/stack hold internal rows only
+                # and every live slot advances every node iteration
+                lqn = lqn_ref[:]  # (1,kk)
+                leaf_c = [
+                    hitlist[c] & (codelist[c] < 0) for c in range(arity)
+                ]
+                int_c = [
+                    hitlist[c] & (codelist[c] >= 0) for c in range(arity)
+                ]
+                nleaf = leaf_c[0].astype(jnp.int32)
+                offs = [jnp.zeros((1, kk), jnp.int32)]
+                for c in range(1, arity):
+                    offs.append(nleaf)
+                    nleaf = nleaf + leaf_c[c].astype(jnp.int32)
+                stall = was_int & (lqn + nleaf > leafq)
+                proceed = was_int & jnp.logical_not(stall)
+                for c in range(arity):
+                    pm = leaf_c[c] & proceed
+                    lq_ref[:] = jnp.where(
+                        (iota_q == lqn + offs[c]) & pm,
+                        -codelist[c] - 1,
+                        lq_ref[:],
+                    )
+                lqn2 = jnp.where(proceed, lqn + nleaf, lqn)
+                lqn_ref[:] = lqn2
+                lqh_ref[:] = lq_ref[0:1, :].T
+                found = jnp.zeros((1, kk), bool)
+                best_code = codelist[0]
+                takes = []
+                for c in range(arity):
+                    take_c = int_c[c] & jnp.logical_not(found)
+                    best_code = jnp.where(take_c, codelist[c], best_code)
+                    takes.append(take_c)
+                    found = found | int_c[c]
+                best_hit = found
+                sp2 = sp
+                for c in range(arity - 1, -1, -1):
+                    pm = int_c[c] & jnp.logical_not(takes[c]) & proceed
+                    stack_ref[:] = jnp.where(
+                        (iota_stack == sp2) & pm, codelist[c], stack_ref[:]
+                    )
+                    sp2 = sp2 + pm.astype(jnp.int32)
+                stepped = proceed
+            elif closest:
+                best_hit = hitlist[0]
+                best_code = codelist[0]
                 sp2 = sp
                 for c in range(arity - 1, 0, -1):
-                    pm = (keys[c] < _BIG) & was_int
+                    pm = hitlist[c] & was_int
                     stack_ref[:] = jnp.where(
-                        (iota_stack == sp2) & pm, kcodes[c], stack_ref[:]
+                        (iota_stack == sp2) & pm, codelist[c], stack_ref[:]
                     )
                     sp2 = sp2 + pm.astype(jnp.int32)
                 stepped = was_int
             else:
-                early = _reduce_min_sl(occ) > 0.0  # (1,kk)
-                hitlist = [ch_hit[c] > 0.0 for c in range(arity)]
                 best_hit = hitlist[0]
-                best_code = codes[0]
+                best_code = codelist[0]
                 best_i = jnp.zeros((1, kk), jnp.int32)
                 for c in range(1, arity):
                     better = hitlist[c] & jnp.logical_not(best_hit)
-                    best_code = jnp.where(better, codes[c], best_code)
+                    best_code = jnp.where(better, codelist[c], best_code)
                     best_i = jnp.where(better, c, best_i)
                     best_hit = best_hit | hitlist[c]
                 sp2 = sp
                 for c in range(arity):
                     pm = hitlist[c] & was_int & (best_i != c)
                     stack_ref[:] = jnp.where(
-                        (iota_stack == sp2) & pm, codes[c], stack_ref[:]
+                        (iota_stack == sp2) & pm, codelist[c], stack_ref[:]
                     )
                     sp2 = sp2 + pm.astype(jnp.int32)
                 stepped = was_int
@@ -382,12 +449,20 @@ def _make_slotlane_kernel(
                 axis=0,
                 keepdims=True,
             )
+            if leafq:
+                # traversal exhausted: park while queued leaves remain
+                fin = jnp.where(lqn2 > 0, _PARKED, _DONE)
+            else:
+                fin = _DONE
             nxt = jnp.where(
-                stepped & best_hit, best_code, jnp.where(can_pop, popped, _DONE)
+                stepped & best_hit, best_code, jnp.where(can_pop, popped, fin)
             )
             nxt = jnp.where(stepped, nxt, cur)
             if not closest:
                 nxt = jnp.where(was_int & early, _DONE, nxt)
+                if leafq:
+                    # a fully-occluded packet drops its queued leaves
+                    lqn_ref[:] = jnp.where(was_int & early, 0, lqn2)
             retired = was_int & (nxt == _DONE)
             ndone = ndone + jnp.sum(retired.astype(jnp.int32))
             cur_ref[:] = nxt.T
@@ -412,10 +487,18 @@ def _make_slotlane_kernel(
             else:
                 ndone, it, useful, occ = state
             ox, oy, oz, dxv, dyv, dzv, ix, iy, iz = rays()
-            for k in range(kk):
-                c = cur_ref[k, 0]
-                r = jnp.clip(-c - 1, 0, n_lrows - 1)
-                lrow_scr[pl.ds(k, 1), :] = leafs_ref[pl.ds(r, 1), :]
+            if leafq:
+                # deferred mode: fetch each slot's queue HEAD (-1 when
+                # empty -> clamped idempotent row-0 re-test)
+                for k in range(kk):
+                    c = lqh_ref[k, 0]
+                    r = jnp.clip(c, 0, n_lrows - 1)
+                    lrow_scr[pl.ds(k, 1), :] = leafs_ref[pl.ds(r, 1), :]
+            else:
+                for k in range(kk):
+                    c = cur_ref[k, 0]
+                    r = jnp.clip(-c - 1, 0, n_lrows - 1)
+                    lrow_scr[pl.ds(k, 1), :] = leafs_ref[pl.ds(r, 1), :]
             lrow_t[:] = lrow_scr[:].T  # (10L, kk)
             lrt = lrow_t[:]
             cur = cur_ref[:].T  # (1,kk)
@@ -467,6 +550,35 @@ def _make_slotlane_kernel(
                 if unified:
                     newly = newly & tri_b
                 occ = jnp.maximum(occ, jnp.where(newly, 1.0, 0.0))
+
+            if leafq:
+                # --- deferred-mode stepping: dequeue one head per slot;
+                # traversal state (cur/sp/stack) only advances in node
+                # iterations. Parked slots whose queue drained retire.
+                lqn = lqn_ref[:]  # (1,kk)
+                did = lqn > 0
+                lqn2 = lqn - did.astype(jnp.int32)
+                lq = lq_ref[:]
+                shifted = jnp.concatenate(
+                    [lq[1:], jnp.full((1, kk), -1, jnp.int32)], axis=0
+                )
+                lq_ref[:] = jnp.where(did, shifted, lq)
+                lqh_ref[:] = jnp.where(did, shifted[0:1, :], lq[0:1, :]).T
+                if closest:
+                    retired = (cur == _PARKED) & (lqn2 == 0)
+                else:
+                    early = _reduce_min_sl(occ) > 0.0
+                    retired = ((cur == _PARKED) & (lqn2 == 0)) | (
+                        (cur == _PARKED) & early
+                    )
+                    lqn2 = jnp.where(retired, 0, lqn2)
+                lqn_ref[:] = lqn2
+                ndone = ndone + jnp.sum(retired.astype(jnp.int32))
+                cur_ref[:] = jnp.where(retired, _DONE, cur).T
+                useful = useful + jnp.sum(did.astype(jnp.int32))
+                if closest:
+                    return ndone, it + 1, useful
+                return ndone, it + 1, useful, occ
 
             # stepping: triangle-leaf slots pop (or retire); entry slots
             # jump into their instance's BLAS root in object space
@@ -543,12 +655,31 @@ def _make_slotlane_kernel(
                 return ndone, it + 1, useful
             return ndone, it + 1, useful, occ
 
-        def body(state):
-            cur = cur_ref[:]  # (kk,1)
-            n_int = jnp.sum((cur >= 0).astype(jnp.int32))
-            n_leaf = jnp.sum(((cur < 0) & (cur > _DONE)).astype(jnp.int32))
-            do_leaf = jnp.logical_or(n_leaf >= leaf_thresh, n_int == 0)
-            return jax.lax.cond(do_leaf, leaf_iter, node_iter, state)
+        if leafq:
+            qmin = max(1, (3 * kk) // 4)
+
+            def body(state):
+                curT = cur_ref[:].T  # (1,kk)
+                lqn = lqn_ref[:]
+                is_int = curT >= 0
+                n_int = jnp.sum(is_int.astype(jnp.int32))
+                nonempty = jnp.sum((lqn > 0).astype(jnp.int32))
+                near_full = (
+                    jnp.sum(
+                        (is_int & (lqn > leafq - arity)).astype(jnp.int32)
+                    )
+                    > 0
+                )
+                do_leaf = (nonempty >= qmin) | near_full | (n_int == 0)
+                return jax.lax.cond(do_leaf, leaf_iter, node_iter, state)
+        else:
+
+            def body(state):
+                cur = cur_ref[:]  # (kk,1)
+                n_int = jnp.sum((cur >= 0).astype(jnp.int32))
+                n_leaf = jnp.sum(((cur < 0) & (cur > _DONE)).astype(jnp.int32))
+                do_leaf = jnp.logical_or(n_leaf >= leaf_thresh, n_int == 0)
+                return jax.lax.cond(do_leaf, leaf_iter, node_iter, state)
 
         def cond(state):
             return state[0] < kk
@@ -580,17 +711,19 @@ def _ray_specs(n, S, kk):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "depth", "G", "S", "arity", "lt", "kk", "interpret"),
+    static_argnames=(
+        "L", "depth", "G", "S", "arity", "lt", "kk", "leafq", "interpret",
+    ),
 )
 def _closest_call_slotlane(
     nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax,
-    *, L, depth, G, S, arity, lt, kk=K, interpret=False,
+    *, L, depth, G, S, arity, lt, kk=K, leafq=0, interpret=False,
 ):
     shape = (S, G * kk)
     return pl.pallas_call(
         _make_slotlane_kernel(
             closest=True, L=L, depth=depth, S=S, arity=arity,
-            leaf_thresh=lt, kk=kk,
+            leaf_thresh=lt, kk=kk, leafq=leafq,
         ),
         grid=(G,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
@@ -615,7 +748,16 @@ def _closest_call_slotlane(
             pltpu.VMEM((kk, 1), jnp.int32),  # cur (sublane mirror for fetch)
             pltpu.VMEM((1, kk), jnp.int32),  # sp (lane-major)
             pltpu.VMEM((depth, kk), jnp.int32),  # stacks (lane-major)
-        ],
+        ]
+        + (
+            [
+                pltpu.VMEM((leafq, kk), jnp.int32),  # leaf FIFO (lane-major)
+                pltpu.VMEM((kk, 1), jnp.int32),  # FIFO head mirror
+                pltpu.VMEM((1, kk), jnp.int32),  # queue occupancy
+            ]
+            if leafq
+            else []
+        ),
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
@@ -625,17 +767,19 @@ def _closest_call_slotlane(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "depth", "G", "S", "arity", "lt", "kk", "interpret"),
+    static_argnames=(
+        "L", "depth", "G", "S", "arity", "lt", "kk", "leafq", "interpret",
+    ),
 )
 def _any_call_slotlane(
     nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax,
-    *, L, depth, G, S, arity, lt, kk=K, interpret=False,
+    *, L, depth, G, S, arity, lt, kk=K, leafq=0, interpret=False,
 ):
     shape = (S, G * kk)
     return pl.pallas_call(
         _make_slotlane_kernel(
             closest=False, L=L, depth=depth, S=S, arity=arity,
-            leaf_thresh=lt, kk=kk,
+            leaf_thresh=lt, kk=kk, leafq=leafq,
         ),
         grid=(G,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
@@ -656,7 +800,16 @@ def _any_call_slotlane(
             pltpu.VMEM((kk, 1), jnp.int32),
             pltpu.VMEM((1, kk), jnp.int32),
             pltpu.VMEM((depth, kk), jnp.int32),
-        ],
+        ]
+        + (
+            [
+                pltpu.VMEM((leafq, kk), jnp.int32),  # leaf FIFO (lane-major)
+                pltpu.VMEM((kk, 1), jnp.int32),  # FIFO head mirror
+                pltpu.VMEM((1, kk), jnp.int32),  # queue occupancy
+            ]
+            if leafq
+            else []
+        ),
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
@@ -688,13 +841,15 @@ def _np_groups(R, S, kk):
 def traverse_closest_slotlane(
     pbvh: PackedBvh, orig, dir, t_min, active, t_max=None,
     interpret=False, return_iters=False, S=None, leaf_thresh=None,
-    k_slots=None,
+    k_slots=None, leafq=None,
 ):
     """Group-barrier slot-lane closest-hit traversal. Same contract as
     traverse_packet.traverse_closest_persistent."""
     S = DEFAULT_S if S is None else S
     lt = LEAF_THRESH if leaf_thresh is None else leaf_thresh
     kk = K if k_slots is None else k_slots
+    if leafq is None:
+        leafq = LEAFQ_CAP
     R = orig.shape[0]
     NP, G = _np_groups(R, S, kk)
     ox = _pack_sl(jnp.where(active, orig[:, 0], _BIG), S, NP, _BIG)
@@ -712,7 +867,8 @@ def traverse_closest_slotlane(
     t, prim, u, v, iters = _closest_call_slotlane(
         pbvh.nodes, pbvh.leaf_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
         L=pbvh.leaf_size, depth=depth, G=G, S=S, arity=pbvh.arity,
-        lt=lt, kk=kk, interpret=interpret,
+        lt=lt, kk=kk, leafq=_leafq_for(pbvh.arity, leafq),
+        interpret=interpret,
     )
     if return_iters:
         # per-group iteration/useful-step rows; sum for totals
@@ -733,13 +889,15 @@ def traverse_closest_slotlane(
 def traverse_any_slotlane(
     pbvh: PackedBvh, orig, dir, t_min, t_max, mask,
     interpret=False, return_iters=False, S=None, leaf_thresh=None,
-    k_slots=None,
+    k_slots=None, leafq=None,
 ):
     """Group-barrier slot-lane any-hit traversal. Same contract as
     traverse_packet.traverse_any_persistent."""
     S = DEFAULT_S if S is None else S
     lt = LEAF_THRESH if leaf_thresh is None else leaf_thresh
     kk = K if k_slots is None else k_slots
+    if leafq is None:
+        leafq = LEAFQ_CAP
     R = orig.shape[0]
     NP, G = _np_groups(R, S, kk)
     ox = _pack_sl(jnp.where(mask, orig[:, 0], _BIG), S, NP, _BIG)
@@ -757,7 +915,8 @@ def traverse_any_slotlane(
     occ, iters = _any_call_slotlane(
         pbvh.nodes, pbvh.leaf_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
         L=pbvh.leaf_size, depth=depth, G=G, S=S, arity=pbvh.arity,
-        lt=lt, kk=kk, interpret=interpret,
+        lt=lt, kk=kk, leafq=_leafq_for(pbvh.arity, leafq),
+        interpret=interpret,
     )
     if return_iters:
         return jnp.sum(iters[0::8, 0]), jnp.sum(iters[1::8, 0])

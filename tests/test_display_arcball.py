@@ -219,8 +219,8 @@ class TestHttpViewerCli:
 
         orig_init = HttpDisplay.__init__
 
-        def patched(self, port=8000, quality=80):
-            orig_init(self, port=0, quality=quality)
+        def patched(self, port=8000, quality=80, host="127.0.0.1"):
+            orig_init(self, port=0, quality=quality, host=host)
             ports["port"] = self.port
 
         monkeypatch.setattr(HttpDisplay, "__init__", patched)

@@ -192,3 +192,19 @@ def test_slotlane_unified_matches_blocked():
     )
     assert np.array_equal(np.asarray(o0), np.asarray(o1))
     assert int(np.asarray(o1).sum()) > 0
+
+
+def test_slotlane_no_leafq_matches_xla(scene_and_rays):
+    # phase-alternation mode (leafq=0) must also match bit-exactly
+    pbvh2, _, orig, d, active = scene_and_rays
+    n = 512
+    t_min = jnp.full((n,), 1e-4, jnp.float32)
+    t0, p0, _, _ = traverse_closest_blocked(
+        pbvh2, orig[:n], d[:n], t_min, active[:n]
+    )
+    t1, p1, _, _ = tsl.traverse_closest_slotlane(
+        pbvh2, orig[:n], d[:n], t_min, active[:n],
+        interpret=True, S=S, k_slots=KK, leafq=0,
+    )
+    assert np.array_equal(np.asarray(p0), np.asarray(p1))
+    assert np.array_equal(np.asarray(t0), np.asarray(t1))
