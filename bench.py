@@ -105,6 +105,8 @@ def run_parity():
         ("flat", "proc://hall?subdiv=2"),
         ("unified", "proc://instances?nx=4&ny=4&subdiv=2"),
     ) if on_tpu else ():
+        from chameleonrt_tpu.ops import traverse_slotlane as tsl
+
         scene = load_scene(url)
         flat, meta, host = build_device_scene(scene, want_host=True)
         flat = flat._replace(blas=build_blas_set(flat, meta, host))
@@ -117,13 +119,14 @@ def run_parity():
             t0, p0, i0, _, _ = traverse_closest_unified_blocked(
                 ub, orig, dirs, t_min, active
             )
-            t1, p1, i1, _, _ = tp.traverse_closest_unified_persistent(
+            # the production kernel (round 5): slot-lane
+            t1, p1, i1, _, _ = tsl.traverse_closest_unified_slotlane(
                 ub, orig, dirs, t_min, active
             )
         else:
             pb = _closest_table(flat.blas[0])
             t0, p0, _, _ = traverse_closest_blocked(pb, orig, dirs, t_min, active)
-            t1, p1, _, _ = tp.traverse_closest_persistent(
+            t1, p1, _, _ = tsl.traverse_closest_slotlane(
                 pb, orig, dirs, t_min, active
             )
         p0, p1, t0, t1 = map(np.asarray, (p0, p1, t0, t1))
@@ -139,14 +142,16 @@ def run_parity():
                 )
             )
             o1 = np.asarray(
-                tp.traverse_any_unified_persistent(ub, orig, dirs, eps, tmax, active)
+                tsl.traverse_any_unified_slotlane(
+                    ub, orig, dirs, eps, tmax, active
+                )
             )
         else:
             o0 = np.asarray(
                 traverse_any_blocked(pb, orig, dirs, eps, tmax, active)
             )
             o1 = np.asarray(
-                tp.traverse_any_persistent(pb, orig, dirs, eps, tmax, active)
+                tsl.traverse_any_slotlane(pb, orig, dirs, eps, tmax, active)
             )
         occ_mismatch = int((o0 != o1).sum())
         # tolerate <= 20 ppm borderline f32 disagreements (genuine-hit

@@ -47,6 +47,7 @@ from chameleonrt_tpu.ops.traverse_packet import (
 )
 from chameleonrt_tpu.ops.traverse_slotlane import (
     slotlane_eligible,
+    slotlane_stream_eligible,
     traverse_any_slotlane,
     traverse_closest_slotlane,
 )
@@ -54,15 +55,18 @@ from chameleonrt_tpu.ops.traverse_slotlane import (
 
 def _slotlane_enabled() -> bool:
     """Slot-lane group-barrier kernels (ops/traverse_slotlane.py) for FLAT
-    scenes: full-density (S,K) vector work, measured faster than the
-    work-queue persistent kernels per step (roofline_probe step3).
+    scenes: full-density (S,K) vector work. Default ON where the packet
+    kernels run — measured on the hall wavefronts (v5e, S=128 + leaf
+    FIFO, net of readback): coherent closest 38.7 vs 58.5 ms (-34%),
+    incoherent bounce 78.3 vs 114.8 ms (-32%) against the work-queue
+    persistent kernels, 100.000% prim parity.
     Env CHAMELEONRT_SLOTLANE=0/1 overrides."""
     import os
 
     ov = os.environ.get("CHAMELEONRT_SLOTLANE")
     if ov is not None:
         return ov not in ("0", "false", "off")
-    return False
+    return _packet_enabled()
 
 
 def _packet_enabled() -> bool:
@@ -607,6 +611,21 @@ def make_trace_fns(meta: SceneMeta):
                     inst_active,
                     t_max=best.t,
                 )
+            elif (
+                _packet_enabled()
+                and _slotlane_enabled()
+                and slotlane_stream_eligible(pbvh_c, o.shape[0])
+            ):
+                # tables too big for VMEM: HBM tables, per-slot row DMAs
+                t, prim, u, v = traverse_closest_slotlane(
+                    pbvh_c,
+                    o,
+                    d,
+                    jnp.broadcast_to(jnp.float32(t_min), o.shape[:1]),
+                    inst_active,
+                    t_max=best.t,
+                    stream=True,
+                )
             elif _packet_enabled() and persistent_stream_eligible(
                 pbvh_c, o.shape[0]
             ):
@@ -669,8 +688,26 @@ def make_trace_fns(meta: SceneMeta):
             unified_persistent_eligible,
         )
 
+        from chameleonrt_tpu.ops.traverse_slotlane import (
+            slotlane_unified_eligible,
+            slotlane_unified_stream_eligible,
+            traverse_closest_unified_slotlane,
+        )
+
         ubvh = _closest_table(flat.blas[0])
         if (
+            _unified_persistent_enabled()
+            and _slotlane_enabled()
+            and slotlane_unified_eligible(ubvh, orig.shape[0])
+        ):
+            t, prim, inst, u, v = traverse_closest_unified_slotlane(
+                ubvh,
+                orig,
+                dir,
+                jnp.broadcast_to(jnp.float32(t_min), orig.shape[:1]),
+                active,
+            )
+        elif (
             _unified_persistent_enabled()
             and unified_persistent_eligible(ubvh, orig.shape[0])
         ):
@@ -680,6 +717,19 @@ def make_trace_fns(meta: SceneMeta):
                 dir,
                 jnp.broadcast_to(jnp.float32(t_min), orig.shape[:1]),
                 active,
+            )
+        elif (
+            _unified_persistent_enabled()
+            and _slotlane_enabled()
+            and slotlane_unified_stream_eligible(ubvh, orig.shape[0])
+        ):
+            t, prim, inst, u, v = traverse_closest_unified_slotlane(
+                ubvh,
+                orig,
+                dir,
+                jnp.broadcast_to(jnp.float32(t_min), orig.shape[:1]),
+                active,
+                stream=True,
             )
         elif _unified_persistent_enabled() and persistent_stream_eligible(
             ubvh, orig.shape[0]
@@ -754,6 +804,20 @@ def make_trace_fns(meta: SceneMeta):
                     t_max,
                     inst_mask,
                 )
+            elif (
+                _packet_enabled()
+                and _slotlane_enabled()
+                and slotlane_stream_eligible(pbvh_a, o.shape[0], closest=False)
+            ):
+                occluded = occluded | traverse_any_slotlane(
+                    pbvh_a,
+                    o,
+                    d,
+                    jnp.broadcast_to(jnp.float32(EPSILON), o.shape[:1]),
+                    t_max,
+                    inst_mask,
+                    stream=True,
+                )
             elif _packet_enabled() and persistent_stream_eligible(
                 pbvh_a, o.shape[0], closest=False
             ):
@@ -793,9 +857,28 @@ def make_trace_fns(meta: SceneMeta):
             unified_persistent_eligible,
         )
 
+        from chameleonrt_tpu.ops.traverse_slotlane import (
+            slotlane_unified_eligible,
+            slotlane_unified_stream_eligible,
+            traverse_any_unified_slotlane,
+        )
+
         # persistent any-hit rides the BVH4 slot (~half the node visits)
         ubvh_bin = flat.blas[0].any
         if (
+            _unified_persistent_enabled()
+            and _slotlane_enabled()
+            and slotlane_unified_eligible(ubvh_bin, orig.shape[0], closest=False)
+        ):
+            occ = traverse_any_unified_slotlane(
+                ubvh_bin,
+                orig,
+                dir,
+                jnp.broadcast_to(jnp.float32(EPSILON), orig.shape[:1]),
+                jnp.broadcast_to(t_max, orig.shape[:1]),
+                mask,
+            )
+        elif (
             _unified_persistent_enabled()
             and unified_persistent_eligible(ubvh_bin, orig.shape[0], closest=False)
         ):
@@ -806,6 +889,22 @@ def make_trace_fns(meta: SceneMeta):
                 jnp.broadcast_to(jnp.float32(EPSILON), orig.shape[:1]),
                 jnp.broadcast_to(t_max, orig.shape[:1]),
                 mask,
+            )
+        elif (
+            _unified_persistent_enabled()
+            and _slotlane_enabled()
+            and slotlane_unified_stream_eligible(
+                ubvh_bin, orig.shape[0], closest=False
+            )
+        ):
+            occ = traverse_any_unified_slotlane(
+                ubvh_bin,
+                orig,
+                dir,
+                jnp.broadcast_to(jnp.float32(EPSILON), orig.shape[:1]),
+                jnp.broadcast_to(t_max, orig.shape[:1]),
+                mask,
+                stream=True,
             )
         elif _unified_persistent_enabled() and persistent_stream_eligible(
             ubvh_bin, orig.shape[0], closest=False

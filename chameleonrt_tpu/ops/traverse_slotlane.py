@@ -71,10 +71,13 @@ from chameleonrt_tpu.ops.traverse_packet import (
 K = 128  # slots per group — one per lane, always the full register width
 P_LANE = 128
 
-# Rays per packet (sublane extent of the working block). 256 matches the
-# shipped kernels' measured-optimal packet size (identical unions); 512
-# halves per-step cost another 13% but grows the union. Env-sweepable.
-DEFAULT_S = int(_os.environ.get("CHAMELEONRT_SLOTLANE_S", "256"))
+# Rays per packet (sublane extent of the working block). Swept on the
+# hall wavefronts (v5e, min-of-6, net of readback): with the deferred
+# leaf FIFO, S=128 wins BOTH coherent and incoherent waves (b0
+# 38.7/77.9 ms at S=128/256; b1 78.3/96.4) — smaller packets shrink the
+# per-packet union (less group-barrier tail) while every step stays
+# full-density. S=512 loses everywhere (union growth).
+DEFAULT_S = int(_os.environ.get("CHAMELEONRT_SLOTLANE_S", "128"))
 
 LEAF_THRESH = int(_os.environ.get("CHAMELEONRT_SLOTLANE_LEAF_THRESH", "32"))
 
@@ -173,7 +176,7 @@ def _mt_sl(lrt, L, S, ox, oy, oz, dx, dy, dz, t_min, t_cap):
 
 def _make_slotlane_kernel(
     *, closest, L, depth, S, arity, leaf_thresh, kk,
-    unified=False, n_tri=0, tlas_lo=0, leafq=0,
+    unified=False, n_tri=0, tlas_lo=0, leafq=0, stream=False,
 ):
     assert not (leafq and unified), (
         "deferred leaf queues are flat-only here too: queued leaf codes "
@@ -216,10 +219,12 @@ def _make_slotlane_kernel(
         (nrow_scr, nrow_t, lrow_scr, lrow_t, cur_ref, sp_ref, stack_ref) = scr[:7]
         if unified:
             (obj_ref, inst_ref, w_ox, w_oy, w_oz, w_dx, w_dy, w_dz,
-             w_ix, w_iy, w_iz) = scr[7:]
+             w_ix, w_iy, w_iz) = scr[7:18]
         if leafq:
-            lq_ref, lqh_ref, lqn_ref = scr[7:]
+            lq_ref, lqh_ref, lqn_ref = scr[7:10]
             iota_q = jax.lax.broadcasted_iota(jnp.int32, (leafq, kk), 0)
+        if stream:
+            node_sem, leaf_sem = scr[-2:]
 
         t_min = tmin_ref[:]
         t_max = tmax_ref[:]
@@ -309,11 +314,31 @@ def _make_slotlane_kernel(
             # results that the was_int mask discards — and in the unified
             # layout every state commit below is lane-masked, so even a
             # wrong-SPACE row can never corrupt state)
-            for k in range(kk):
-                c = cur_ref[k, 0]
-                r = jnp.clip(c, 0, n_nrows - 1)
-                nrow_scr[pl.ds(k, 1), :] = nodes_ref[pl.ds(r, 1), :]
-            nrow_t[:] = nrow_scr[:].T  # ONE (kk,W)->(W,kk) relayout per step
+            if stream:
+                # HBM tables: K row DMAs issued together, waited together
+                # (~one HBM round trip per iteration)
+                for k in range(kk):
+                    c = cur_ref[k, 0]
+                    r = jnp.clip(c, 0, n_nrows - 1)
+                    pltpu.make_async_copy(
+                        nodes_ref.at[pl.ds(r, 1), :],
+                        nrow_scr.at[pl.ds(k, 1), :],
+                        node_sem.at[k],
+                    ).start()
+                for k in range(kk):
+                    c = cur_ref[k, 0]
+                    r = jnp.clip(c, 0, n_nrows - 1)
+                    pltpu.make_async_copy(
+                        nodes_ref.at[pl.ds(r, 1), :],
+                        nrow_scr.at[pl.ds(k, 1), :],
+                        node_sem.at[k],
+                    ).wait()
+            else:
+                for k in range(kk):
+                    c = cur_ref[k, 0]
+                    r = jnp.clip(c, 0, n_nrows - 1)
+                    nrow_scr[pl.ds(k, 1), :] = nodes_ref[pl.ds(r, 1), :]
+            nrow_t[:] = nrow_scr[:, 0 : arity * 8].T  # ONE relayout per step
             rt = nrow_t[:]
 
             ch_keys = []
@@ -487,19 +512,32 @@ def _make_slotlane_kernel(
             else:
                 ndone, it, useful, occ = state
             ox, oy, oz, dxv, dyv, dzv, ix, iy, iz = rays()
-            if leafq:
-                # deferred mode: fetch each slot's queue HEAD (-1 when
-                # empty -> clamped idempotent row-0 re-test)
+            def _leaf_row(k):
+                if leafq:
+                    # deferred mode: each slot's queue HEAD (-1 when
+                    # empty -> clamped idempotent row-0 re-test)
+                    return jnp.clip(lqh_ref[k, 0], 0, n_lrows - 1)
+                return jnp.clip(-cur_ref[k, 0] - 1, 0, n_lrows - 1)
+
+            if stream:
                 for k in range(kk):
-                    c = lqh_ref[k, 0]
-                    r = jnp.clip(c, 0, n_lrows - 1)
-                    lrow_scr[pl.ds(k, 1), :] = leafs_ref[pl.ds(r, 1), :]
+                    pltpu.make_async_copy(
+                        leafs_ref.at[pl.ds(_leaf_row(k), 1), :],
+                        lrow_scr.at[pl.ds(k, 1), :],
+                        leaf_sem.at[k],
+                    ).start()
+                for k in range(kk):
+                    pltpu.make_async_copy(
+                        leafs_ref.at[pl.ds(_leaf_row(k), 1), :],
+                        lrow_scr.at[pl.ds(k, 1), :],
+                        leaf_sem.at[k],
+                    ).wait()
             else:
                 for k in range(kk):
-                    c = cur_ref[k, 0]
-                    r = jnp.clip(-c - 1, 0, n_lrows - 1)
-                    lrow_scr[pl.ds(k, 1), :] = leafs_ref[pl.ds(r, 1), :]
-            lrow_t[:] = lrow_scr[:].T  # (10L, kk)
+                    lrow_scr[pl.ds(k, 1), :] = leafs_ref[
+                        pl.ds(_leaf_row(k), 1), :
+                    ]
+            lrow_t[:] = lrow_scr[:, 0 : 10 * L].T  # (10L, kk)
             lrt = lrow_t[:]
             cur = cur_ref[:].T  # (1,kk)
             at_leaf = (cur < 0) & (cur > _DONE)
@@ -712,21 +750,28 @@ def _ray_specs(n, S, kk):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "L", "depth", "G", "S", "arity", "lt", "kk", "leafq", "interpret",
+        "L", "depth", "G", "S", "arity", "lt", "kk", "leafq", "stream",
+        "interpret",
     ),
 )
 def _closest_call_slotlane(
     nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax,
-    *, L, depth, G, S, arity, lt, kk=K, leafq=0, interpret=False,
+    *, L, depth, G, S, arity, lt, kk=K, leafq=0, stream=False,
+    interpret=False,
 ):
+    if stream:
+        nodes = jnp.pad(nodes, ((0, 0), (0, 128 - nodes.shape[1])))
+        leafs = jnp.pad(leafs, ((0, 0), (0, 128 - leafs.shape[1])))
     shape = (S, G * kk)
     return pl.pallas_call(
         _make_slotlane_kernel(
             closest=True, L=L, depth=depth, S=S, arity=arity,
-            leaf_thresh=lt, kk=kk, leafq=leafq,
+            leaf_thresh=lt, kk=kk, leafq=leafq, stream=stream,
         ),
         grid=(G,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM)
+        ] * 2
         + _ray_specs(8, S, kk),
         out_specs=[
             pl.BlockSpec((S, kk), lambda g: (0, g), memory_space=pltpu.VMEM)
@@ -741,9 +786,9 @@ def _closest_call_slotlane(
             jax.ShapeDtypeStruct((G * 8, P_LANE), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((kk, arity * 8), jnp.float32),  # fetched node rows
+            pltpu.VMEM((kk, 128 if stream else arity * 8), jnp.float32),
             pltpu.VMEM((arity * 8, kk), jnp.float32),  # transposed
-            pltpu.VMEM((kk, 10 * L), jnp.float32),  # fetched leaf rows
+            pltpu.VMEM((kk, 128 if stream else 10 * L), jnp.float32),
             pltpu.VMEM((10 * L, kk), jnp.float32),  # transposed
             pltpu.VMEM((kk, 1), jnp.int32),  # cur (sublane mirror for fetch)
             pltpu.VMEM((1, kk), jnp.int32),  # sp (lane-major)
@@ -757,7 +802,8 @@ def _closest_call_slotlane(
             ]
             if leafq
             else []
-        ),
+        )
+        + ([pltpu.SemaphoreType.DMA((kk,))] * 2 if stream else []),
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
@@ -768,21 +814,28 @@ def _closest_call_slotlane(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "L", "depth", "G", "S", "arity", "lt", "kk", "leafq", "interpret",
+        "L", "depth", "G", "S", "arity", "lt", "kk", "leafq", "stream",
+        "interpret",
     ),
 )
 def _any_call_slotlane(
     nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax,
-    *, L, depth, G, S, arity, lt, kk=K, leafq=0, interpret=False,
+    *, L, depth, G, S, arity, lt, kk=K, leafq=0, stream=False,
+    interpret=False,
 ):
+    if stream:
+        nodes = jnp.pad(nodes, ((0, 0), (0, 128 - nodes.shape[1])))
+        leafs = jnp.pad(leafs, ((0, 0), (0, 128 - leafs.shape[1])))
     shape = (S, G * kk)
     return pl.pallas_call(
         _make_slotlane_kernel(
             closest=False, L=L, depth=depth, S=S, arity=arity,
-            leaf_thresh=lt, kk=kk, leafq=leafq,
+            leaf_thresh=lt, kk=kk, leafq=leafq, stream=stream,
         ),
         grid=(G,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM)
+        ] * 2
         + _ray_specs(8, S, kk),
         out_specs=[
             pl.BlockSpec((S, kk), lambda g: (0, g), memory_space=pltpu.VMEM)
@@ -793,9 +846,9 @@ def _any_call_slotlane(
             jax.ShapeDtypeStruct((G * 8, P_LANE), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((kk, arity * 8), jnp.float32),
+            pltpu.VMEM((kk, 128 if stream else arity * 8), jnp.float32),
             pltpu.VMEM((arity * 8, kk), jnp.float32),
-            pltpu.VMEM((kk, 10 * L), jnp.float32),
+            pltpu.VMEM((kk, 128 if stream else 10 * L), jnp.float32),
             pltpu.VMEM((10 * L, kk), jnp.float32),
             pltpu.VMEM((kk, 1), jnp.int32),
             pltpu.VMEM((1, kk), jnp.int32),
@@ -809,7 +862,8 @@ def _any_call_slotlane(
             ]
             if leafq
             else []
-        ),
+        )
+        + ([pltpu.SemaphoreType.DMA((kk,))] * 2 if stream else []),
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
@@ -841,10 +895,11 @@ def _np_groups(R, S, kk):
 def traverse_closest_slotlane(
     pbvh: PackedBvh, orig, dir, t_min, active, t_max=None,
     interpret=False, return_iters=False, S=None, leaf_thresh=None,
-    k_slots=None, leafq=None,
+    k_slots=None, leafq=None, stream=False,
 ):
     """Group-barrier slot-lane closest-hit traversal. Same contract as
-    traverse_packet.traverse_closest_persistent."""
+    traverse_packet.traverse_closest_persistent. stream=True leaves the
+    node/leaf tables in HBM (per-slot row DMAs) for the >VMEM tier."""
     S = DEFAULT_S if S is None else S
     lt = LEAF_THRESH if leaf_thresh is None else leaf_thresh
     kk = K if k_slots is None else k_slots
@@ -868,7 +923,7 @@ def traverse_closest_slotlane(
         pbvh.nodes, pbvh.leaf_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
         L=pbvh.leaf_size, depth=depth, G=G, S=S, arity=pbvh.arity,
         lt=lt, kk=kk, leafq=_leafq_for(pbvh.arity, leafq),
-        interpret=interpret,
+        stream=stream, interpret=interpret,
     )
     if return_iters:
         # per-group iteration/useful-step rows; sum for totals
@@ -889,10 +944,11 @@ def traverse_closest_slotlane(
 def traverse_any_slotlane(
     pbvh: PackedBvh, orig, dir, t_min, t_max, mask,
     interpret=False, return_iters=False, S=None, leaf_thresh=None,
-    k_slots=None, leafq=None,
+    k_slots=None, leafq=None, stream=False,
 ):
     """Group-barrier slot-lane any-hit traversal. Same contract as
-    traverse_packet.traverse_any_persistent."""
+    traverse_packet.traverse_any_persistent. stream=True leaves the
+    tables in HBM."""
     S = DEFAULT_S if S is None else S
     lt = LEAF_THRESH if leaf_thresh is None else leaf_thresh
     kk = K if k_slots is None else k_slots
@@ -916,7 +972,7 @@ def traverse_any_slotlane(
         pbvh.nodes, pbvh.leaf_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
         L=pbvh.leaf_size, depth=depth, G=G, S=S, arity=pbvh.arity,
         lt=lt, kk=kk, leafq=_leafq_for(pbvh.arity, leafq),
-        interpret=interpret,
+        stream=stream, interpret=interpret,
     )
     if return_iters:
         return jnp.sum(iters[0::8, 0]), jnp.sum(iters[1::8, 0])
@@ -949,22 +1005,28 @@ def slotlane_eligible(
     jax.jit,
     static_argnames=(
         "L", "depth", "G", "S", "arity", "lt", "kk", "n_tri", "tlas_lo",
-        "interpret",
+        "stream", "interpret",
     ),
 )
 def _closest_unified_call_slotlane(
     nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax,
-    *, L, depth, G, S, arity, lt, n_tri, tlas_lo, kk=K, interpret=False,
+    *, L, depth, G, S, arity, lt, n_tri, tlas_lo, kk=K, stream=False,
+    interpret=False,
 ):
+    if stream:
+        nodes = jnp.pad(nodes, ((0, 0), (0, 128 - nodes.shape[1])))
+        leafs = jnp.pad(leafs, ((0, 0), (0, 128 - leafs.shape[1])))
     shape = (S, G * kk)
     return pl.pallas_call(
         _make_slotlane_kernel(
             closest=True, L=L, depth=depth, S=S, arity=arity,
             leaf_thresh=lt, kk=kk, unified=True, n_tri=n_tri,
-            tlas_lo=tlas_lo,
+            tlas_lo=tlas_lo, stream=stream,
         ),
         grid=(G,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM)
+        ] * 2
         + _ray_specs(8, S, kk),
         out_specs=[
             pl.BlockSpec((S, kk), lambda g: (0, g), memory_space=pltpu.VMEM)
@@ -980,9 +1042,9 @@ def _closest_unified_call_slotlane(
             jax.ShapeDtypeStruct((G * 8, P_LANE), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((kk, arity * 8), jnp.float32),
+            pltpu.VMEM((kk, 128 if stream else arity * 8), jnp.float32),
             pltpu.VMEM((arity * 8, kk), jnp.float32),
-            pltpu.VMEM((kk, 10 * L), jnp.float32),
+            pltpu.VMEM((kk, 128 if stream else 10 * L), jnp.float32),
             pltpu.VMEM((10 * L, kk), jnp.float32),
             pltpu.VMEM((kk, 1), jnp.int32),
             pltpu.VMEM((1, kk), jnp.int32),
@@ -990,7 +1052,8 @@ def _closest_unified_call_slotlane(
             pltpu.VMEM((1, kk), jnp.int32),  # obj
             pltpu.VMEM((1, kk), jnp.int32),  # inst
         ]
-        + [pltpu.VMEM((S, kk), jnp.float32)] * 9,  # working rays
+        + [pltpu.VMEM((S, kk), jnp.float32)] * 9  # working rays
+        + ([pltpu.SemaphoreType.DMA((kk,))] * 2 if stream else []),
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
@@ -1002,22 +1065,28 @@ def _closest_unified_call_slotlane(
     jax.jit,
     static_argnames=(
         "L", "depth", "G", "S", "arity", "lt", "kk", "n_tri", "tlas_lo",
-        "interpret",
+        "stream", "interpret",
     ),
 )
 def _any_unified_call_slotlane(
     nodes, leafs, ox, oy, oz, dx, dy, dz, tmin, tmax,
-    *, L, depth, G, S, arity, lt, n_tri, tlas_lo, kk=K, interpret=False,
+    *, L, depth, G, S, arity, lt, n_tri, tlas_lo, kk=K, stream=False,
+    interpret=False,
 ):
+    if stream:
+        nodes = jnp.pad(nodes, ((0, 0), (0, 128 - nodes.shape[1])))
+        leafs = jnp.pad(leafs, ((0, 0), (0, 128 - leafs.shape[1])))
     shape = (S, G * kk)
     return pl.pallas_call(
         _make_slotlane_kernel(
             closest=False, L=L, depth=depth, S=S, arity=arity,
             leaf_thresh=lt, kk=kk, unified=True, n_tri=n_tri,
-            tlas_lo=tlas_lo,
+            tlas_lo=tlas_lo, stream=stream,
         ),
         grid=(G,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM)
+        ] * 2
         + _ray_specs(8, S, kk),
         out_specs=[
             pl.BlockSpec((S, kk), lambda g: (0, g), memory_space=pltpu.VMEM)
@@ -1028,9 +1097,9 @@ def _any_unified_call_slotlane(
             jax.ShapeDtypeStruct((G * 8, P_LANE), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((kk, arity * 8), jnp.float32),
+            pltpu.VMEM((kk, 128 if stream else arity * 8), jnp.float32),
             pltpu.VMEM((arity * 8, kk), jnp.float32),
-            pltpu.VMEM((kk, 10 * L), jnp.float32),
+            pltpu.VMEM((kk, 128 if stream else 10 * L), jnp.float32),
             pltpu.VMEM((10 * L, kk), jnp.float32),
             pltpu.VMEM((kk, 1), jnp.int32),
             pltpu.VMEM((1, kk), jnp.int32),
@@ -1038,7 +1107,8 @@ def _any_unified_call_slotlane(
             pltpu.VMEM((1, kk), jnp.int32),  # obj
             pltpu.VMEM((1, kk), jnp.int32),  # inst
         ]
-        + [pltpu.VMEM((S, kk), jnp.float32)] * 9,  # working rays
+        + [pltpu.VMEM((S, kk), jnp.float32)] * 9  # working rays
+        + ([pltpu.SemaphoreType.DMA((kk,))] * 2 if stream else []),
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
@@ -1049,7 +1119,7 @@ def _any_unified_call_slotlane(
 def traverse_closest_unified_slotlane(
     ubvh, orig, dir, t_min, active, t_max=None,
     interpret=False, return_iters=False, S=None, leaf_thresh=None,
-    k_slots=None,
+    k_slots=None, stream=False,
 ):
     """Slot-lane closest-hit traversal of a UnifiedBvh. Same contract as
     traverse_packet.traverse_closest_unified_persistent: returns
@@ -1075,7 +1145,7 @@ def traverse_closest_unified_slotlane(
         ubvh.nodes, ubvh.leaf_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
         L=ubvh.leaf_size, depth=depth, G=G, S=S, arity=ubvh.arity,
         lt=lt, kk=kk, n_tri=int(ubvh.n_tri_leaves),
-        tlas_lo=int(ubvh.tlas_lo), interpret=interpret,
+        tlas_lo=int(ubvh.tlas_lo), stream=stream, interpret=interpret,
     )
     if return_iters:
         return jnp.sum(iters[0::8, 0]), jnp.sum(iters[1::8, 0])
@@ -1097,7 +1167,7 @@ def traverse_closest_unified_slotlane(
 def traverse_any_unified_slotlane(
     ubvh, orig, dir, t_min, t_max, mask,
     interpret=False, return_iters=False, S=None, leaf_thresh=None,
-    k_slots=None,
+    k_slots=None, stream=False,
 ):
     """Slot-lane any-hit traversal of a UnifiedBvh. Same contract as
     traverse_packet.traverse_any_unified_persistent: (R,) bool occluded."""
@@ -1122,7 +1192,7 @@ def traverse_any_unified_slotlane(
         ubvh.nodes, ubvh.leaf_rows, ox, oy, oz, dx, dy, dz, tmin, tmax,
         L=ubvh.leaf_size, depth=depth, G=G, S=S, arity=ubvh.arity,
         lt=lt, kk=kk, n_tri=int(ubvh.n_tri_leaves),
-        tlas_lo=int(ubvh.tlas_lo), interpret=interpret,
+        tlas_lo=int(ubvh.tlas_lo), stream=stream, interpret=interpret,
     )
     if return_iters:
         return jnp.sum(iters[0::8, 0]), jnp.sum(iters[1::8, 0])
@@ -1153,3 +1223,40 @@ def slotlane_unified_eligible(
     scratch += (depth * K + 4 * K) * 4
     scratch += 9 * block  # working rays
     return table_bytes + pipeline_bytes + scratch <= VMEM_FIT_BUDGET
+
+
+def slotlane_stream_eligible(
+    pbvh: PackedBvh, n_rays: int, closest: bool = True, S: int = None
+) -> bool:
+    """Gate for the HBM-table slot-lane kernels (>VMEM tier): only the
+    pipeline blocks and scratch are VMEM-resident, so eligibility is
+    near-universal — the table budget check of the VMEM tier drops out."""
+    if pbvh.arity not in _SORT_NETS or pbvh.max_depth is None:
+        return False
+    if pbvh.leaf_rows.shape[0] <= 1:
+        return False
+    S = DEFAULT_S if S is None else S
+    block = S * K * 4
+    n_io = (8 + 5) if closest else (8 + 2)
+    depth = int(pbvh.max_depth) + 1
+    scratch = (4 * (K * 128) + (depth + 3) * K) * 4
+    return 2 * n_io * block + scratch <= VMEM_FIT_BUDGET
+
+
+def slotlane_unified_stream_eligible(
+    ubvh, n_rays: int, closest: bool = True, S: int = None
+) -> bool:
+    """HBM-table unified slot-lane gate (san-miguel-class scenes whose
+    fused tables exceed VMEM)."""
+    if (
+        ubvh.arity not in _SORT_NETS
+        or ubvh.stack_bound is None
+        or ubvh.leaf_rows.shape[0] <= 1
+    ):
+        return False
+    S = DEFAULT_S if S is None else S
+    block = S * K * 4
+    n_io = (8 + 6) if closest else (8 + 2)
+    depth = int(ubvh.stack_bound) + 1
+    scratch = (4 * (K * 128) + (depth + 5) * K) * 4 + 9 * block
+    return 2 * n_io * block + scratch <= VMEM_FIT_BUDGET

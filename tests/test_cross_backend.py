@@ -70,9 +70,9 @@ def test_tpu_matches_reference_textured_image(tmp_path):
     ids and roughness texture handles through both backends (the
     -validation oracle role, reference main.cpp:154-155,316-325)."""
     uri = "proc://hall?subdiv=1&textured=1&columns=4"
-    img_ref, acc_ref, zref = render_frames("reference", uri, 144, 4, tmpdir=str(tmp_path))
+    img_ref, acc_ref, zref = render_frames("reference", uri, 128, 2, tmpdir=str(tmp_path))
     assert int(zref["n_materials"]) >= 16 and int(zref["n_textures"]) >= 8
-    img_tpu, acc_tpu, _ = render_frames("tpu", uri, 144, 4, tmpdir=str(tmp_path))
+    img_tpu, acc_tpu, _ = render_frames("tpu", uri, 128, 2, tmpdir=str(tmp_path))
     _assert_images_match(img_ref, img_tpu, acc_ref, acc_tpu)
 
 

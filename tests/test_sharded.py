@@ -19,52 +19,11 @@ def test_dryrun_multichip():
     ge.dryrun_multichip(min(8, len(jax.devices())))
 
 
-def test_sharded_image_matches_single_device():
-    import numpy as np
-
-    from chameleonrt_tpu.engine import path_tracer
-    from chameleonrt_tpu.engine.device_scene import build_device_scene
-    from chameleonrt_tpu.engine.trace_bvh import build_blas_set, make_trace_fns
-    from chameleonrt_tpu.ops import camera as camera_ops
-    from chameleonrt_tpu.parallel import sharded
-    from chameleonrt_tpu.scene.loader import load_scene
-
-    n_dev = min(4, len(jax.devices()))
-    W, H = 24, 8 * n_dev
-    scene = load_scene("proc://cornell")
-    flat, meta = build_device_scene(scene)
-    flat = flat._replace(blas=build_blas_set(flat, meta))
-    tc, ta = make_trace_fns(meta)
-    cam = scene.cameras[0]
-    d = cam.center - cam.position
-    d = d / np.linalg.norm(d)
-    view = camera_ops.compute_view_params(cam.position, d, cam.up, cam.fov_y, W, H)
-
-    # single-device
-    ys, xs = jnp.mgrid[0:H, 0:W]
-    illum_s, rays_s = path_tracer.render_pixels(
-        flat, meta, tc, ta, view, jnp.uint32(0),
-        xs.reshape(-1).astype(jnp.uint32), ys.reshape(-1).astype(jnp.uint32),
-        W, H, 1,
-    )
-    img_single = np.asarray(illum_s).reshape(H, W, 3)
-
-    # sharded
-    mesh = sharded.make_mesh(jax.devices()[:n_dev])
-    flat_r = sharded.replicate_scene(flat, mesh)
-    step = sharded.make_sharded_render_step(meta, tc, ta, mesh, W, H, 1)
-    accum = sharded.shard_accum(jnp.zeros((H, W, 3), jnp.float32), mesh)
-    accum, rays_m = step(flat_r, view, accum, jnp.uint32(0))
-    img_sharded = np.asarray(accum)
-
-    np.testing.assert_allclose(img_sharded, img_single, rtol=1e-5, atol=1e-5)
-    assert int(rays_m) == int(rays_s)
-
-
 def test_sharded_progressive_frames_match_single_device():
-    """Multi-frame progressive accumulation under sharding: frame_id
-    advances, donated buffers rotate, result equals the single-device
-    render after 3 frames."""
+    """Sharded rendering vs single device, per frame AND progressively:
+    frame 0 equality (the old single-frame test, compile shared), ray
+    counts equal, then 3 frames of progressive accumulation with donated
+    buffers rotating — equal after every frame."""
     import numpy as np
 
     from chameleonrt_tpu.engine import path_tracer
@@ -88,20 +47,22 @@ def test_sharded_progressive_frames_match_single_device():
     ys, xs = jnp.mgrid[0:H, 0:W]
     px = xs.reshape(-1).astype(jnp.uint32)
     py = ys.reshape(-1).astype(jnp.uint32)
-    single = jnp.zeros((H, W, 3), jnp.float32)
-    for fid in range(3):
-        illum, _ = path_tracer.render_pixels(
-            flat, meta, tc, ta, view, jnp.uint32(fid), px, py, W, H, 1
-        )
-        single = path_tracer.progressive_accum(single, illum.reshape(H, W, 3), fid)
 
     mesh = sharded.make_mesh(jax.devices()[:n_dev])
     flat_r = sharded.replicate_scene(flat, mesh)
     step = sharded.make_sharded_render_step(meta, tc, ta, mesh, W, H, 1)
     accum = sharded.shard_accum(jnp.zeros((H, W, 3), jnp.float32), mesh)
+    single = jnp.zeros((H, W, 3), jnp.float32)
     for fid in range(3):
-        accum, _ = step(flat_r, view, accum, jnp.uint32(fid))
-    np.testing.assert_allclose(np.asarray(accum), np.asarray(single), rtol=1e-5, atol=1e-5)
+        illum, rays_s = path_tracer.render_pixels(
+            flat, meta, tc, ta, view, jnp.uint32(fid), px, py, W, H, 1
+        )
+        single = path_tracer.progressive_accum(single, illum.reshape(H, W, 3), fid)
+        accum, rays_m = step(flat_r, view, accum, jnp.uint32(fid))
+        np.testing.assert_allclose(
+            np.asarray(accum), np.asarray(single), rtol=1e-5, atol=1e-5
+        )
+        assert int(rays_m) == int(rays_s)
 
 
 def test_backend_devices_image_equal_with_padding():

@@ -208,3 +208,66 @@ def test_slotlane_no_leafq_matches_xla(scene_and_rays):
     )
     assert np.array_equal(np.asarray(p0), np.asarray(p1))
     assert np.array_equal(np.asarray(t0), np.asarray(t1))
+
+
+def test_slotlane_stream_matches_vmem(scene_and_rays):
+    # HBM-table (per-slot row DMA) variant must match the VMEM variant
+    pbvh2, _, orig, d, active = scene_and_rays
+    n = 512
+    t_min = jnp.full((n,), 1e-4, jnp.float32)
+    t0, p0, _, _ = tsl.traverse_closest_slotlane(
+        pbvh2, orig[:n], d[:n], t_min, active[:n],
+        interpret=True, S=S, k_slots=KK,
+    )
+    t1, p1, _, _ = tsl.traverse_closest_slotlane(
+        pbvh2, orig[:n], d[:n], t_min, active[:n],
+        interpret=True, S=S, k_slots=KK, stream=True,
+    )
+    assert np.array_equal(np.asarray(p0), np.asarray(p1))
+    assert np.array_equal(np.asarray(t0), np.asarray(t1))
+    tmax = jnp.where(t0 < 1e19, t0 * 1.001, 30.0)
+    o0 = tsl.traverse_any_slotlane(
+        pbvh2, orig[:n], d[:n], t_min, tmax, active[:n] & (np.asarray(p0) >= 0),
+        interpret=True, S=S, k_slots=KK,
+    )
+    o1 = tsl.traverse_any_slotlane(
+        pbvh2, orig[:n], d[:n], t_min, tmax, active[:n] & (np.asarray(p0) >= 0),
+        interpret=True, S=S, k_slots=KK, stream=True,
+    )
+    assert np.array_equal(np.asarray(o0), np.asarray(o1))
+
+
+def test_slotlane_unified_stream_matches_vmem():
+    # unified HBM-table variant vs the unified VMEM variant
+    import jax.numpy as jnp
+
+    from chameleonrt_tpu.engine.device_scene import build_device_scene
+    from chameleonrt_tpu.engine.trace_bvh import build_blas_set
+    from chameleonrt_tpu.ops.lbvh import UnifiedPair
+    from test_unified_tlas import _scene
+
+    scene = _scene()
+    flat, meta, host = build_device_scene(scene, want_host=True)
+    flat = flat._replace(blas=build_blas_set(flat, meta, host))
+    assert isinstance(flat.blas[0], UnifiedPair)
+    ubvh = flat.blas[0].closest
+
+    r = np.random.default_rng(13)
+    R = 768
+    orig = jnp.asarray(r.uniform(-5, 5, (R, 3)).astype(np.float32))
+    d = r.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    active = jnp.ones((R,), bool)
+    t_min = jnp.zeros((R,), jnp.float32)
+
+    t0, p0, i0, _, _ = tsl.traverse_closest_unified_slotlane(
+        ubvh, orig, d, t_min, active, interpret=True, S=S, k_slots=KK
+    )
+    t1, p1, i1, _, _ = tsl.traverse_closest_unified_slotlane(
+        ubvh, orig, d, t_min, active, interpret=True, S=S, k_slots=KK,
+        stream=True,
+    )
+    assert np.array_equal(np.asarray(p0), np.asarray(p1))
+    assert np.array_equal(np.asarray(i0), np.asarray(i1))
+    assert np.array_equal(np.asarray(t0), np.asarray(t1))
