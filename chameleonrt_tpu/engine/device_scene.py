@@ -140,11 +140,19 @@ def _assemble_shade_rows_device(e1, e2, uv0, uv1, uv2, geom_slot, mat_table_row,
     return multi(e1, e2, uv0, uv1, uv2, geom_slot)
 
 
-def build_device_scene(scene: Scene, want_host: bool = False):
+def build_device_scene(scene: Scene, want_host: bool = False,
+                       host_tris_cb=None):
     """Flatten + upload. With want_host=True also returns the host-side
     (v0, e1, e2) numpy triple for the BVH builder — reading triangles BACK
     from the device costs ~20 s/array through the axon tunnel, so set_scene
-    must never round-trip them (measured: 96 s of a 99 s set_scene)."""
+    must never round-trip them (measured: 96 s of a 99 s set_scene).
+
+    host_tris_cb(v0, e1, e2, mesh_ranges): called the moment the host
+    triangle arrays exist, BEFORE any device upload — the TPU backend
+    uses it to start the native SAH build on a worker thread (ctypes
+    releases the GIL) so the CPU-bound build overlaps the tunnel-bound
+    uploads and device-side assembly below (set_scene wall time ≈
+    max(build, upload) instead of their sum)."""
     if not scene.meshes or scene.total_tris() == 0 or not scene.instances:
         raise ValueError(
             "scene has no renderable geometry (no meshes/instances/triangles)"
@@ -198,6 +206,9 @@ def build_device_scene(scene: Scene, want_host: bool = False):
     tri_geom_slot = (
         np.concatenate(geom_slots) if geom_slots else np.zeros(0, np.int32)
     ).astype(np.int32)
+
+    if host_tris_cb is not None:
+        host_tris_cb(tri_v0, tri_e1, tri_e2, list(mesh_ranges))
 
     # Upload each triangle column ONCE. All-zero UV columns (untextured
     # scenes) are generated on device — at Rungholt scale that is 3x54 MB

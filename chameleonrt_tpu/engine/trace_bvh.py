@@ -183,8 +183,39 @@ def _pad_rows(a, n: int):
     return np.pad(a, ((0, n - a.shape[0]), (0, 0)))
 
 
+def prebuild_blas_native(v0, e1, e2, mesh_ranges, n_instances):
+    """Run the native SAH builds for every mesh range — the CPU-bound
+    part of build_blas_set, split out so backend set_scene can run it on
+    a worker thread concurrently with the device uploads (the ctypes
+    call releases the GIL). Returns the per-range native results for
+    build_blas_set(prebuilt=...), or None when the native lib is
+    unavailable (callers fall back to the normal path)."""
+    from chameleonrt_tpu import native
+
+    if native.get_lib() is None:
+        return None
+    out = []
+    for start, count in mesh_ranges:
+        if count == 0:
+            out.append(None)
+            continue
+        kw = dict(wide_arity=_wide_arity())
+        if n_instances <= 1:
+            kw["pad_to"] = _bucket_size
+        out.append(
+            native.build_bvh_pair_native(
+                v0[start : start + count],
+                e1[start : start + count],
+                e2[start : start + count],
+                _native_leaf_size(),
+                **kw,
+            )
+        )
+    return out
+
+
 def build_blas_set(
-    flat: FlatScene, meta: SceneMeta, host_tris=None
+    flat: FlatScene, meta: SceneMeta, host_tris=None, prebuilt=None
 ) -> Tuple[BlasPair, ...]:
     """Build one packed BVH pair per mesh over its triangle range (the
     set_scene BLAS-build phase, reference render_optix.cpp:134-172, minus
@@ -210,28 +241,31 @@ def build_blas_set(
     from chameleonrt_tpu import native
 
     if meta.num_instances > 1:
-        unified = build_unified_set(flat, meta, host_tris)
+        unified = build_unified_set(flat, meta, host_tris, prebuilt=prebuilt)
         if unified is not None:
             return (unified,)
 
     build_jit = None
     blas = []
-    for start, count in meta.mesh_tri_ranges:
+    for mesh_i, (start, count) in enumerate(meta.mesh_tri_ranges):
         if native.get_lib() is not None and count > 0:
-            if host_tris is None:
-                host_tris = (
-                    np.asarray(flat.tri_v0),
-                    np.asarray(flat.tri_e1),
-                    np.asarray(flat.tri_e2),
+            if prebuilt is not None:
+                res = prebuilt[mesh_i]
+            else:
+                if host_tris is None:
+                    host_tris = (
+                        np.asarray(flat.tri_v0),
+                        np.asarray(flat.tri_e1),
+                        np.asarray(flat.tri_e2),
+                    )
+                res = native.build_bvh_pair_native(
+                    host_tris[0][start : start + count],
+                    host_tris[1][start : start + count],
+                    host_tris[2][start : start + count],
+                    _native_leaf_size(),
+                    wide_arity=_wide_arity(),
+                    pad_to=_bucket_size,
                 )
-            res = native.build_bvh_pair_native(
-                host_tris[0][start : start + count],
-                host_tris[1][start : start + count],
-                host_tris[2][start : start + count],
-                _native_leaf_size(),
-                wide_arity=_wide_arity(),
-                pad_to=_bucket_size,
-            )
             if res is not None:
                 nodes2, nodes4, leaf_rows, depth2, stack4 = res
                 leaf_rows = jnp.asarray(leaf_rows)
@@ -283,7 +317,8 @@ def _rebase_codes(nodes: "np.ndarray", arity: int, node_off: int, leaf_map):
     nodes[:, cols] = codes.view(np.float32)
 
 
-def build_unified_set(flat: FlatScene, meta: SceneMeta, host_tris=None):
+def build_unified_set(flat: FlatScene, meta: SceneMeta, host_tris=None,
+                      prebuilt=None):
     """Assemble the two-level UnifiedBvh pair for a multi-instance scene:
     native SAH BLAS per mesh + native SAH TLAS over instance world AABBs
     (leaf_size=1, built over degenerate 'box triangles'), all fused into
@@ -309,17 +344,20 @@ def build_unified_set(flat: FlatScene, meta: SceneMeta, host_tris=None):
 
     # --- per-mesh BLAS builds
     mesh_parts = []  # (nodes2, nodes4, leaf_rows, depth2, stack4)
-    for start, count in meta.mesh_tri_ranges:
+    for mesh_i, (start, count) in enumerate(meta.mesh_tri_ranges):
         if count == 0:
             mesh_parts.append(None)
             continue
-        res = native.build_bvh_pair_native(
-            v0[start : start + count],
-            e1[start : start + count],
-            e2[start : start + count],
-            LEAF_SIZE,
-            wide_arity=WIDE,
-        )
+        if prebuilt is not None:
+            res = prebuilt[mesh_i]
+        else:
+            res = native.build_bvh_pair_native(
+                v0[start : start + count],
+                e1[start : start + count],
+                e2[start : start + count],
+                LEAF_SIZE,
+                wide_arity=WIDE,
+            )
         if res is None:
             return None
         nodes2, nodes4, leaf_rows, depth2, stack4 = res

@@ -100,6 +100,7 @@ def test_backend_devices_image_equal_with_padding():
     assert rays[n_dev] >= int(rays[1] * 0.8)
 
 
+@pytest.mark.slow
 def test_rebalance_image_equal_and_migrates():
     """`-rebalance` (ppermute mid-path ray redistribution, SURVEY §2.3's
     ray-redistribution slot): the rebalanced sharded step must produce an
@@ -218,6 +219,7 @@ def test_exchange_wavefront_conserves_and_balances():
     )
 
 
+@pytest.mark.slow
 def test_chunked_sharded_step_matches_unchunked():
     """Row chunking composed with sharding (VERDICT r3 #4): the chunked
     sharded step (each device shard split into multiple launches) must

@@ -219,6 +219,7 @@ def test_persistent_stream_matches_vmem(scene_and_rays):
     assert np.array_equal(np.asarray(t0), np.asarray(t1))
 
 
+@pytest.mark.slow
 def test_persistent_stream_pinned_top_matches_vmem(scene_and_rays):
     """The VMEM-pinned-top streamed variant (n_top rows of the BFS-ordered
     node table fetched from a VMEM prefix, deeper rows DMA'd) must agree

@@ -132,6 +132,7 @@ def test_unified_matches_brute_force():
     np.testing.assert_array_equal(occ[clear], expected[clear])
 
 
+@pytest.mark.slow
 def test_unified_persistent_matches_blocked():
     """The persistent unified packet kernels (interpret mode) must agree
     bit-exactly with the XLA unified traversal on (t, prim, inst) and
