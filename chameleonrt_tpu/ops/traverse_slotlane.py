@@ -79,6 +79,13 @@ P_LANE = 128
 # full-density. S=512 loses everywhere (union growth).
 DEFAULT_S = int(_os.environ.get("CHAMELEONRT_SLOTLANE_S", "128"))
 
+# Streamed (HBM-table) tier packet size. Iterations there are DMA-round-
+# trip bound, so SMALLER packets win again (smaller per-packet unions =
+# fewer latency-bound iterations; rungholt_city 640x360 full frames:
+# S=256 796 ms, S=128 616 ms, S=64 540 ms, S=32 517 ms). Swept
+# separately from the VMEM tier's S.
+STREAM_S = int(_os.environ.get("CHAMELEONRT_SLOTLANE_STREAM_S", "32"))
+
 LEAF_THRESH = int(_os.environ.get("CHAMELEONRT_SLOTLANE_LEAF_THRESH", "32"))
 
 
@@ -900,7 +907,7 @@ def traverse_closest_slotlane(
     """Group-barrier slot-lane closest-hit traversal. Same contract as
     traverse_packet.traverse_closest_persistent. stream=True leaves the
     node/leaf tables in HBM (per-slot row DMAs) for the >VMEM tier."""
-    S = DEFAULT_S if S is None else S
+    S = (STREAM_S if stream else DEFAULT_S) if S is None else S
     lt = LEAF_THRESH if leaf_thresh is None else leaf_thresh
     kk = K if k_slots is None else k_slots
     if leafq is None:
@@ -949,7 +956,7 @@ def traverse_any_slotlane(
     """Group-barrier slot-lane any-hit traversal. Same contract as
     traverse_packet.traverse_any_persistent. stream=True leaves the
     tables in HBM."""
-    S = DEFAULT_S if S is None else S
+    S = (STREAM_S if stream else DEFAULT_S) if S is None else S
     lt = LEAF_THRESH if leaf_thresh is None else leaf_thresh
     kk = K if k_slots is None else k_slots
     if leafq is None:
@@ -1124,7 +1131,7 @@ def traverse_closest_unified_slotlane(
     """Slot-lane closest-hit traversal of a UnifiedBvh. Same contract as
     traverse_packet.traverse_closest_unified_persistent: returns
     (t, prim, inst, u, v), prim/inst = -1 on miss."""
-    S = DEFAULT_S if S is None else S
+    S = (STREAM_S if stream else DEFAULT_S) if S is None else S
     lt = LEAF_THRESH if leaf_thresh is None else leaf_thresh
     kk = K if k_slots is None else k_slots
     R = orig.shape[0]
@@ -1171,7 +1178,7 @@ def traverse_any_unified_slotlane(
 ):
     """Slot-lane any-hit traversal of a UnifiedBvh. Same contract as
     traverse_packet.traverse_any_unified_persistent: (R,) bool occluded."""
-    S = DEFAULT_S if S is None else S
+    S = (STREAM_S if stream else DEFAULT_S) if S is None else S
     lt = LEAF_THRESH if leaf_thresh is None else leaf_thresh
     kk = K if k_slots is None else k_slots
     R = orig.shape[0]
@@ -1235,7 +1242,7 @@ def slotlane_stream_eligible(
         return False
     if pbvh.leaf_rows.shape[0] <= 1:
         return False
-    S = DEFAULT_S if S is None else S
+    S = STREAM_S if S is None else S
     block = S * K * 4
     n_io = (8 + 5) if closest else (8 + 2)
     depth = int(pbvh.max_depth) + 1
@@ -1254,7 +1261,7 @@ def slotlane_unified_stream_eligible(
         or ubvh.leaf_rows.shape[0] <= 1
     ):
         return False
-    S = DEFAULT_S if S is None else S
+    S = STREAM_S if S is None else S
     block = S * K * 4
     n_io = (8 + 6) if closest else (8 + 2)
     depth = int(ubvh.stack_bound) + 1

@@ -199,6 +199,7 @@ def test_persistent_any_bvh4_matches_xla(scene_and_rays, bvh4_and_rays):
     assert int(np.asarray(o1).sum()) > 0
 
 
+@pytest.mark.slow
 def test_persistent_stream_matches_vmem(scene_and_rays):
     """The DMA-streamed table variant must agree bit-exactly with the
     VMEM-table variant (same kernel, tables fetched from HBM with padded
