@@ -322,24 +322,25 @@ def _make_slotlane_kernel(
             # layout every state commit below is lane-masked, so even a
             # wrong-SPACE row can never corrupt state)
             if stream:
-                # HBM tables: K row DMAs issued together, waited together
-                # (~one HBM round trip per iteration)
+                # HBM tables: K row DMAs issued onto ONE shared semaphore,
+                # then a single semaphore_wait(kk). The per-slot wait loop
+                # re-derived every address just to name the copy (~half
+                # the measured 13.3 us/iteration on rungholt_city was the
+                # two scalar sequences); one bulk wait removes it.
                 for k in range(kk):
                     c = cur_ref[k, 0]
                     r = jnp.clip(c, 0, n_nrows - 1)
                     pltpu.make_async_copy(
                         nodes_ref.at[pl.ds(r, 1), :],
                         nrow_scr.at[pl.ds(k, 1), :],
-                        node_sem.at[k],
+                        node_sem,
                     ).start()
-                for k in range(kk):
-                    c = cur_ref[k, 0]
-                    r = jnp.clip(c, 0, n_nrows - 1)
-                    pltpu.make_async_copy(
-                        nodes_ref.at[pl.ds(r, 1), :],
-                        nrow_scr.at[pl.ds(k, 1), :],
-                        node_sem.at[k],
-                    ).wait()
+                # one bulk wait: a DMA-sem wait decrements by the byte
+                # count of its descriptor, so a whole-block descriptor
+                # waits for all kk row copies at once
+                pltpu.make_async_copy(
+                    nodes_ref.at[pl.ds(0, kk), :], nrow_scr, node_sem
+                ).wait()
             else:
                 for k in range(kk):
                     c = cur_ref[k, 0]
@@ -531,14 +532,11 @@ def _make_slotlane_kernel(
                     pltpu.make_async_copy(
                         leafs_ref.at[pl.ds(_leaf_row(k), 1), :],
                         lrow_scr.at[pl.ds(k, 1), :],
-                        leaf_sem.at[k],
+                        leaf_sem,
                     ).start()
-                for k in range(kk):
-                    pltpu.make_async_copy(
-                        leafs_ref.at[pl.ds(_leaf_row(k), 1), :],
-                        lrow_scr.at[pl.ds(k, 1), :],
-                        leaf_sem.at[k],
-                    ).wait()
+                pltpu.make_async_copy(
+                    leafs_ref.at[pl.ds(0, kk), :], lrow_scr, leaf_sem
+                ).wait()
             else:
                 for k in range(kk):
                     lrow_scr[pl.ds(k, 1), :] = leafs_ref[
@@ -810,7 +808,7 @@ def _closest_call_slotlane(
             if leafq
             else []
         )
-        + ([pltpu.SemaphoreType.DMA((kk,))] * 2 if stream else []),
+        + ([pltpu.SemaphoreType.DMA] * 2 if stream else []),
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
@@ -870,7 +868,7 @@ def _any_call_slotlane(
             if leafq
             else []
         )
-        + ([pltpu.SemaphoreType.DMA((kk,))] * 2 if stream else []),
+        + ([pltpu.SemaphoreType.DMA] * 2 if stream else []),
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
@@ -1060,7 +1058,7 @@ def _closest_unified_call_slotlane(
             pltpu.VMEM((1, kk), jnp.int32),  # inst
         ]
         + [pltpu.VMEM((S, kk), jnp.float32)] * 9  # working rays
-        + ([pltpu.SemaphoreType.DMA((kk,))] * 2 if stream else []),
+        + ([pltpu.SemaphoreType.DMA] * 2 if stream else []),
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
@@ -1115,7 +1113,7 @@ def _any_unified_call_slotlane(
             pltpu.VMEM((1, kk), jnp.int32),  # inst
         ]
         + [pltpu.VMEM((S, kk), jnp.float32)] * 9  # working rays
-        + ([pltpu.SemaphoreType.DMA((kk,))] * 2 if stream else []),
+        + ([pltpu.SemaphoreType.DMA] * 2 if stream else []),
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
