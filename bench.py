@@ -34,7 +34,7 @@ CONFIGS = [
     # Rungholt-scale, structured: a 6.7M-tri voxel city (coherent
     # occlusion, the real Rungholt's character) — the adversarially
     # divergent random soup stays as a separate stress config
-    ("rungholt_city", "proc://city?n=610", 640, 360, 1, 1),
+    ("rungholt_city", "proc://city?n=610", 640, 360, 2, 1),
     # San Miguel class (BASELINE configs[4]): ~10M instanced tris loaded
     # THROUGH the PBRT loader (generated at bench time), quad light + NEE,
     # 4 spp — first at-scale exercise of scene/pbrt_loader.py
